@@ -1,0 +1,375 @@
+"""Conformer / Transformer encoders with a swappable attention registry.
+
+Parity targets: `wenet/transformer/encoder.py` (BaseEncoder.forward
+`:117-149`, ConformerEncoder `:453-632` incl. the per-attention-type
+constructor arg tuples `:525-569`) and `wenet/transformer/encoder_layer.py`
+(ConformerEncoderLayer ordering `:114-260`: macaron-FFN*0.5 -> attention ->
+conv -> FFN*0.5 -> final norm, pre-norm residuals, LayerNorm eps 1e-5).
+
+Attention registry mirrors `WENET_ATTENTION_CLASSES`
+(`wenet/utils/class_utils.py:77-89`): 'selfattn', 'rel_selfattn',
+'rwkv_tmix60', 'rwkv_tmix60_bidirectional' (+'2' perf alias),
+'rwkv_tmix60_dir_layer_drop', 'rwkv_tmix60_dir_layer_drop_both',
+'mamba_att', 'limited_rel_selfattn'.
+
+TPU-first notes: layers are plain flax modules unrolled at trace time (12-30
+blocks compile into one XLA program); optional remat per layer trades FLOPs
+for HBM on long sequences; everything takes (features, lengths) with static
+shapes and boolean masks.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from paper_accurate_fast_cheap_tpu.models import attention as att_mod
+from paper_accurate_fast_cheap_tpu.models import embedding as emb_mod
+from paper_accurate_fast_cheap_tpu.models import subsampling as sub_mod
+from paper_accurate_fast_cheap_tpu.models.convolution import (
+    ConvolutionModule,
+    PositionwiseFeedForward,
+)
+from paper_accurate_fast_cheap_tpu.models.rwkv import RWKVAttention
+from paper_accurate_fast_cheap_tpu.utils import masks as mask_utils
+
+SUBSAMPLE_CLASSES = {
+    "linear": sub_mod.LinearNoSubsampling,
+    "conv1d2": sub_mod.Conv1dSubsampling2,
+    "conv2d": sub_mod.Conv2dSubsampling4,
+    "conv2d6": sub_mod.Conv2dSubsampling6,
+    "conv2d8": sub_mod.Conv2dSubsampling8,
+}
+
+EMB_CLASSES = {
+    "abs_pos": emb_mod.PositionalEncoding,
+    "rel_pos": emb_mod.RelPositionalEncoding,
+    "no_pos": emb_mod.NoPositionalEncoding,
+}
+
+
+def _make_attention(
+    layer_type: str,
+    heads: int,
+    d_model: int,
+    dropout_rate: float,
+    key_bias: bool,
+    num_blocks: int,
+    layer_id: int,
+    rwkv_conf: dict,
+):
+    if layer_type == "selfattn":
+        return att_mod.MultiHeadedAttention(
+            heads=heads, d_model=d_model, dropout_rate=dropout_rate,
+            key_bias=key_bias,
+        )
+    if layer_type == "rel_selfattn":
+        return att_mod.RelPositionMultiHeadedAttention(
+            heads=heads, d_model=d_model, dropout_rate=dropout_rate,
+            key_bias=key_bias,
+        )
+    if layer_type == "limited_rel_selfattn":
+        from paper_accurate_fast_cheap_tpu.models.lca import (
+            LimitedRelPositionAttention,
+        )
+
+        return LimitedRelPositionAttention(
+            heads=heads, d_model=d_model, dropout_rate=dropout_rate,
+            key_bias=key_bias,
+            context_size=rwkv_conf.get("att_context_size", (256, 256)),
+            global_tokens=rwkv_conf.get("global_tokens", 0),
+            global_tokens_spacing=rwkv_conf.get("global_tokens_spacing", 1),
+        )
+    if layer_type.startswith("rwkv_tmix60") or layer_type == "rwkv_tmix70":
+        direction = {
+            "rwkv_tmix60": "uni",
+            "rwkv_tmix60_bidirectional": "bi",
+            "rwkv_tmix60_bidirectional2": "bi",
+            "rwkv_tmix60_dir_layer_drop": "dirdrop",
+            "rwkv_tmix60_dir_layer_drop_both": "dirdrop_both",
+        }.get(layer_type)
+        if direction is None:
+            raise NotImplementedError(f"attention type {layer_type}")
+        return RWKVAttention(
+            head_size=d_model // heads,
+            dim_att=d_model,
+            n_layers=num_blocks,
+            direction=direction,
+            layer_id=layer_id,
+            do_bfloat16=rwkv_conf.get("rwkv_do_bfloat16", True),
+            wkv_impl=rwkv_conf.get("wkv_impl", "chunked"),
+            wkv_chunk_size=rwkv_conf.get("wkv_chunk_size", 16),
+            bidirectional_layers=rwkv_conf.get("bidirectional_layers"),
+            alt_decoding=rwkv_conf.get("alt_decoding", False),
+        )
+    if layer_type == "mamba_att":
+        from paper_accurate_fast_cheap_tpu.models.mamba import MambaAttention
+
+        return MambaAttention(
+            head_size=d_model // heads,
+            d_model=d_model,
+            n_layers=num_blocks,
+            direction=rwkv_conf.get("rnn_att_direction", "bi"),
+            layer_id=layer_id,
+        )
+    raise NotImplementedError(f"attention type {layer_type}")
+
+
+class ConformerEncoderLayer(nn.Module):
+    """One conformer block (pre-norm)."""
+
+    d_model: int
+    self_attn: nn.Module
+    linear_units: int
+    dropout_rate: float = 0.1
+    activation: str = "swish"
+    macaron_style: bool = True
+    use_cnn_module: bool = True
+    cnn_module_kernel: int = 31
+    cnn_module_norm: str = "layer_norm"
+    causal: bool = False
+    normalize_before: bool = True
+
+    @nn.compact
+    def __call__(self, x, att_mask=None, pos_emb=None, pad_mask=None,
+                 lengths=None, deterministic: bool = True):
+        drop = lambda v: nn.Dropout(self.dropout_rate)(
+            v, deterministic=deterministic
+        )
+        ff_scale = 0.5 if self.macaron_style else 1.0
+
+        if self.macaron_style:
+            res = x
+            y = nn.LayerNorm(epsilon=1e-5, name="norm_ff_macaron")(x)
+            y = PositionwiseFeedForward(
+                self.d_model, self.linear_units, self.dropout_rate,
+                self.activation, name="feed_forward_macaron",
+            )(y, deterministic=deterministic)
+            x = res + ff_scale * drop(y)
+
+        res = x
+        y = nn.LayerNorm(epsilon=1e-5, name="norm_mha")(x)
+        if isinstance(self.self_attn, RWKVAttention):
+            y = self.self_attn(y, y, att_mask, pos_emb, lengths=lengths,
+                               deterministic=deterministic)
+        else:
+            y = self.self_attn(y, y, att_mask, pos_emb,
+                               deterministic=deterministic)
+        x = res + drop(y)
+
+        if self.use_cnn_module:
+            res = x
+            y = nn.LayerNorm(epsilon=1e-5, name="norm_conv")(x)
+            y = ConvolutionModule(
+                self.d_model, self.cnn_module_kernel, self.cnn_module_norm,
+                self.causal, name="conv_module",
+            )(y, pad_mask, deterministic=deterministic)
+            x = res + drop(y)
+
+        res = x
+        y = nn.LayerNorm(epsilon=1e-5, name="norm_ff")(x)
+        y = PositionwiseFeedForward(
+            self.d_model, self.linear_units, self.dropout_rate,
+            self.activation, name="feed_forward",
+        )(y, deterministic=deterministic)
+        x = res + ff_scale * drop(y)
+
+        if self.use_cnn_module:
+            x = nn.LayerNorm(epsilon=1e-5, name="norm_final")(x)
+        return x
+
+
+class ConformerEncoder(nn.Module):
+    """Conformer encoder: cmvn (caller) -> subsample -> pos-enc -> N blocks.
+
+    Returns (encoded (B, T', D), out_lengths (B,)).
+    """
+
+    input_size: int = 80
+    output_size: int = 512
+    attention_heads: int = 8
+    linear_units: int = 2048
+    num_blocks: int = 12
+    dropout_rate: float = 0.1
+    positional_dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    input_layer: str = "conv2d"
+    pos_enc_layer_type: str = "rel_pos"
+    normalize_before: bool = True
+    macaron_style: bool = True
+    use_cnn_module: bool = True
+    cnn_module_kernel: int = 31
+    cnn_module_norm: str = "layer_norm"
+    activation_type: str = "swish"
+    causal: bool = False
+    key_bias: bool = True
+    selfattention_layer_type: str = "rel_selfattn"
+    static_chunk_size: int = 0
+    use_dynamic_chunk: bool = False
+    use_dynamic_left_chunk: bool = False
+    gradient_checkpointing: bool = False
+    rwkv_conf: Any = None  # dict: rwkv/mamba/lca extras
+
+    @nn.compact
+    def __call__(
+        self,
+        xs: jax.Array,
+        xs_lens: jax.Array,
+        decoding_chunk_size: int = 0,
+        num_decoding_left_chunks: int = -1,
+        *,
+        deterministic: bool = True,
+        return_layers: bool = False,
+    ):
+        rwkv_conf = dict(self.rwkv_conf or {})
+        sub = SUBSAMPLE_CLASSES[self.input_layer](
+            idim=self.input_size, odim=self.output_size,
+            dropout_rate=self.dropout_rate, name="embed",
+        )
+        xs, out_lens = sub(xs, xs_lens, deterministic=deterministic)
+        out_lens = jnp.minimum(out_lens, xs.shape[1])
+        pos_cls = EMB_CLASSES[self.pos_enc_layer_type]
+        xs, pos_emb = pos_cls(
+            d_model=self.output_size,
+            dropout_rate=self.positional_dropout_rate, name="pos_enc",
+        )(xs, deterministic=deterministic)
+
+        T = xs.shape[1]
+        pad_mask = mask_utils.make_pad_mask(out_lens, T)
+        if self.use_dynamic_chunk and not deterministic:
+            att_mask = mask_utils.add_optional_chunk_mask(
+                pad_mask, True, self.use_dynamic_left_chunk,
+                decoding_chunk_size, self.static_chunk_size,
+                num_decoding_left_chunks, rng=self.make_rng("chunk"),
+            )
+        elif self.static_chunk_size > 0 or decoding_chunk_size != 0:
+            att_mask = mask_utils.add_optional_chunk_mask(
+                pad_mask, False, False,
+                0 if decoding_chunk_size < 0 else decoding_chunk_size,
+                self.static_chunk_size, num_decoding_left_chunks,
+            )
+        else:
+            att_mask = pad_mask[:, None, :]
+
+        layer_outs = []
+        for i in range(self.num_blocks):
+            attn = _make_attention(
+                self.selfattention_layer_type, self.attention_heads,
+                self.output_size, self.attention_dropout_rate, self.key_bias,
+                self.num_blocks, i, rwkv_conf,
+            )
+            layer = ConformerEncoderLayer(
+                d_model=self.output_size,
+                self_attn=attn,
+                linear_units=self.linear_units,
+                dropout_rate=self.dropout_rate,
+                activation=self.activation_type,
+                macaron_style=self.macaron_style,
+                use_cnn_module=self.use_cnn_module,
+                cnn_module_kernel=self.cnn_module_kernel,
+                cnn_module_norm=self.cnn_module_norm,
+                causal=self.causal,
+                normalize_before=self.normalize_before,
+                name=f"layer_{i}",
+            )
+            if self.gradient_checkpointing and not deterministic:
+                # rematerialize each block's activations in the backward pass
+                # (reference: torch checkpoint via gradient_checkpointing,
+                # `encoder.py` / `train_utils.py:354-392`)
+                xs = nn.remat(
+                    ConformerEncoderLayer.__call__, static_argnums=(6,)
+                )(layer, xs, att_mask, pos_emb, pad_mask, out_lens,
+                  deterministic)
+            else:
+                xs = layer(xs, att_mask, pos_emb, pad_mask, out_lens,
+                           deterministic=deterministic)
+            if return_layers:
+                layer_outs.append(xs)
+
+        if self.normalize_before:
+            xs = nn.LayerNorm(epsilon=1e-5, name="after_norm")(xs)
+        if return_layers:
+            return xs, out_lens, layer_outs
+        return xs, out_lens
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Plain transformer block (`encoder_layer.py:25-111`)."""
+
+    d_model: int
+    self_attn: nn.Module
+    linear_units: int
+    dropout_rate: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = True
+
+    @nn.compact
+    def __call__(self, x, att_mask=None, pos_emb=None, pad_mask=None,
+                 lengths=None, *, deterministic: bool = True):
+        drop = lambda v: nn.Dropout(self.dropout_rate)(
+            v, deterministic=deterministic
+        )
+        res = x
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        y = self.self_attn(y, y, att_mask, pos_emb,
+                           deterministic=deterministic)
+        x = res + drop(y)
+        res = x
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        y = PositionwiseFeedForward(
+            self.d_model, self.linear_units, self.dropout_rate,
+            self.activation, name="feed_forward",
+        )(y, deterministic=deterministic)
+        return res + drop(y)
+
+
+class TransformerEncoder(nn.Module):
+    """Vanilla transformer encoder (`encoder.py:405-450`)."""
+
+    input_size: int = 80
+    output_size: int = 256
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 6
+    dropout_rate: float = 0.1
+    positional_dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    input_layer: str = "conv2d"
+    pos_enc_layer_type: str = "abs_pos"
+    normalize_before: bool = True
+    key_bias: bool = True
+    activation_type: str = "relu"
+
+    @nn.compact
+    def __call__(self, xs, xs_lens, *, deterministic: bool = True):
+        sub = SUBSAMPLE_CLASSES[self.input_layer](
+            idim=self.input_size, odim=self.output_size,
+            dropout_rate=self.dropout_rate, name="embed",
+        )
+        xs, out_lens = sub(xs, xs_lens, deterministic=deterministic)
+        xs, pos_emb = EMB_CLASSES[self.pos_enc_layer_type](
+            d_model=self.output_size,
+            dropout_rate=self.positional_dropout_rate, name="pos_enc",
+        )(xs, deterministic=deterministic)
+        T = xs.shape[1]
+        pad_mask = mask_utils.make_pad_mask(out_lens, T)
+        att_mask = pad_mask[:, None, :]
+        for i in range(self.num_blocks):
+            attn = att_mod.MultiHeadedAttention(
+                heads=self.attention_heads, d_model=self.output_size,
+                dropout_rate=self.attention_dropout_rate,
+                key_bias=self.key_bias,
+            )
+            xs = TransformerEncoderLayer(
+                d_model=self.output_size, self_attn=attn,
+                linear_units=self.linear_units,
+                dropout_rate=self.dropout_rate,
+                activation=self.activation_type,
+                normalize_before=self.normalize_before, name=f"layer_{i}",
+            )(xs, att_mask, pos_emb, pad_mask, out_lens,
+              deterministic=deterministic)
+        if self.normalize_before:
+            xs = nn.LayerNorm(epsilon=1e-5, name="after_norm")(xs)
+        return xs, out_lens

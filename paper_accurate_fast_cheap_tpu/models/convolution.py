@@ -1,0 +1,74 @@
+"""Conformer convolution module.
+
+Parity target: `wenet/transformer/convolution.py` — pointwise(2C) -> GLU ->
+depthwise(kernel 31; causal left-pad k-1 vs symmetric pad, `:49-60`) ->
+norm(batch_norm | layer_norm) -> SiLU -> pointwise -> out, with the padding
+mask zeroed before the depthwise conv so pad frames cannot leak through the
+receptive field (`:89-144`).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class ConvolutionModule(nn.Module):
+    channels: int
+    kernel_size: int = 31
+    norm: str = "layer_norm"  # paper configs use layer_norm
+    causal: bool = False
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask_pad=None, *, deterministic: bool = True):
+        """x: (B, T, C); mask_pad: bool (B, T) True=valid."""
+        if mask_pad is not None:
+            x = jnp.where(mask_pad[..., None], x, 0.0)
+        y = nn.Dense(2 * self.channels, use_bias=self.bias)(x)  # pointwise 1
+        a, b = jnp.split(y, 2, axis=-1)
+        y = a * nn.sigmoid(b)  # GLU
+
+        if self.causal:
+            pad = (self.kernel_size - 1, 0)
+        else:
+            assert (self.kernel_size - 1) % 2 == 0
+            h = (self.kernel_size - 1) // 2
+            pad = (h, h)
+        y = nn.Conv(
+            self.channels,
+            (self.kernel_size,),
+            padding=(pad,),
+            feature_group_count=self.channels,
+            use_bias=self.bias,
+        )(y)
+
+        if self.norm == "layer_norm":
+            y = nn.LayerNorm(epsilon=1e-5)(y)
+        else:
+            y = nn.BatchNorm(use_running_average=deterministic, epsilon=1e-5)(y)
+        y = nn.silu(y)
+        y = nn.Dense(self.channels, use_bias=self.bias)(y)  # pointwise 2
+        if mask_pad is not None:
+            y = jnp.where(mask_pad[..., None], y, 0.0)
+        return y
+
+
+class PositionwiseFeedForward(nn.Module):
+    """FFN: Dense -> activation -> dropout -> Dense
+    (`wenet/transformer/positionwise_feed_forward.py:20-56`)."""
+
+    d_model: int
+    hidden: int
+    dropout_rate: float = 0.1
+    activation: str = "swish"
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        act = {"swish": nn.silu, "relu": nn.relu, "gelu": nn.gelu,
+               "hardtanh": lambda v: jnp.clip(v, -1.0, 1.0)}[self.activation]
+        y = nn.Dense(self.hidden)(x)
+        y = act(y)
+        y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        return nn.Dense(self.d_model)(y)

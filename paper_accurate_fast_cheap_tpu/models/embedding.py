@@ -1,0 +1,78 @@
+"""Positional encodings.
+
+Parity targets: `wenet/transformer/embedding.py` — PositionalEncoding
+(`:25-118`, offset-aware, x * sqrt(d)), RelPositionalEncoding (`:120-147`,
+returns the sinusoid table alongside the scaled input), NoPositionalEncoding
+(`:279-299`).  Tables are precomputed host-side and closed over as constants
+so the whole embedding is a single XLA fusion.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sinusoid_table(max_len: int, d_model: int) -> np.ndarray:
+    """Standard transformer sinusoid table (max_len, d_model), fp32."""
+    position = np.arange(max_len, dtype=np.float64)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float64)
+        * -(np.log(10000.0) / d_model)
+    )
+    pe = np.zeros((max_len, d_model), np.float64)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe.astype(np.float32)
+
+
+class PositionalEncoding(nn.Module):
+    """Absolute sinusoidal encoding: returns (x * sqrt(d) + PE, PE)."""
+
+    d_model: int
+    dropout_rate: float = 0.1
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, x, offset: int = 0, deterministic: bool = True):
+        T = x.shape[1]
+        pe = jnp.asarray(sinusoid_table(self.max_len, self.d_model))
+        pos = pe[None, offset : offset + T]
+        y = x * jnp.sqrt(jnp.asarray(self.d_model, x.dtype)) + pos
+        y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        pos = nn.Dropout(self.dropout_rate)(pos, deterministic=deterministic)
+        return y, pos
+
+
+class RelPositionalEncoding(nn.Module):
+    """Transformer-XL style: scales x, returns the PE table separately."""
+
+    d_model: int
+    dropout_rate: float = 0.1
+    max_len: int = 100000  # reference uses 100k for long-form
+
+    @nn.compact
+    def __call__(self, x, offset: int = 0, deterministic: bool = True):
+        T = x.shape[1]
+        pe = jnp.asarray(sinusoid_table(self.max_len, self.d_model))
+        pos = pe[None, offset : offset + T]
+        y = x * jnp.sqrt(jnp.asarray(self.d_model, x.dtype))
+        y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        pos = nn.Dropout(self.dropout_rate)(pos, deterministic=deterministic)
+        return y, pos
+
+
+class NoPositionalEncoding(nn.Module):
+    """Scale-only (recurrent attention needs no positions)."""
+
+    d_model: int
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, offset: int = 0, deterministic: bool = True):
+        y = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        pos = jnp.zeros((1, x.shape[1], self.d_model), x.dtype)
+        return y, pos
