@@ -1,0 +1,200 @@
+"""Transducer decoding: greedy + prefix beam search with CTC fusion.
+
+Parity targets: `wenet/transducer/search/greedy_search.py:6-54`
+(basic_greedy_search, frame-synchronous) and
+`wenet/transducer/search/prefix_beam_search.py:70-177,428-574`
+(`rnnt_beam_search`, the paper's SF decode mode): per frame, per beam —
+predictor step on the last token, joint with enc[t], shallow fusion
+``log(tw * exp(trans) + cw * exp(ctc[t]))``, top-k expansion (blank keeps
+the hypothesis and predictor state, a token extends both), log-add merge of
+identical hypotheses, prune to beam.  One emission max per frame.
+
+TPU-first: greedy is a single jitted `lax.scan` over frames (whole batch at
+once).  The beam search batches (utterance x beam) through one jitted step
+function; only the O(beam) bookkeeping runs on host.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paper_accurate_fast_cheap_tpu.decode.search import DecodeResult
+
+
+def basic_greedy_search(
+    predictor_step: Callable,   # (tokens (B,), state) -> (out (B, D), state)
+    joint_step: Callable,       # (enc_t (B, De), pred (B, Dp)) -> logp (B, V)
+    init_state,
+    enc_out: jax.Array,         # (B, T, De)
+    enc_lens: jax.Array,
+    blank_id: int = 0,
+) -> List[DecodeResult]:
+    """Frame-sync greedy, one symbol max per frame, fully jitted scan."""
+    B, T, _ = enc_out.shape
+
+    def select(emitted, new, old):
+        """Per-batch-element select; predictor state convention: leaves are
+        (B, ...) for ndim <= 2 or (L, B, ...) for ndim >= 3."""
+        if new.ndim >= 3:
+            e = emitted.reshape((1, -1) + (1,) * (new.ndim - 2))
+        elif new.ndim == 2:
+            e = emitted[:, None]
+        else:
+            e = emitted
+        return jnp.where(e, new, old)
+
+    def step(carry, enc_t):
+        tokens, state, pred_out = carry
+        logp = joint_step(enc_t, pred_out)
+        best = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        emitted = best != blank_id
+        new_tokens = jnp.where(emitted, best, tokens)
+        # advance predictor only where a symbol was emitted
+        cand_out, cand_state = predictor_step(new_tokens, state)
+        pred_out2 = jnp.where(emitted[:, None], cand_out, pred_out)
+        state2 = jax.tree.map(
+            lambda new, old: select(emitted, new, old), cand_state, state,
+        )
+        return (new_tokens, state2, pred_out2), best
+
+    tokens0 = jnp.full((B,), blank_id, jnp.int32)
+    pred0, state0 = predictor_step(tokens0, init_state)
+    (_, _, _), emits = jax.lax.scan(
+        step, (tokens0, init_state, pred0), jnp.moveaxis(enc_out, 1, 0)
+    )
+    emits = np.asarray(jnp.moveaxis(emits, 0, 1))  # (B, T)
+    lens = np.asarray(enc_lens)
+    results = []
+    for b in range(B):
+        toks = [int(x) for x in emits[b, : lens[b]] if x != blank_id]
+        results.append(DecodeResult(tokens=toks))
+    return results
+
+
+def rnnt_beam_search(
+    predictor_step: Callable,
+    joint_step: Callable,
+    init_state_fn: Callable,    # (n) -> predictor state pytree
+    enc_out: jax.Array,         # (B, T, De)
+    enc_lens: jax.Array,
+    ctc_probs: jax.Array,       # (B, T, V) log-probs for fusion
+    beam_size: int = 8,
+    blank_id: int = 0,
+    ctc_weight: float = 0.3,
+    transducer_weight: float = 0.7,
+) -> List[DecodeResult]:
+    """Batched prefix beam search with CTC shallow fusion."""
+    enc_out = jnp.asarray(enc_out)
+    B, T, De = enc_out.shape
+    N = beam_size
+    lens = np.asarray(enc_lens)
+
+    # flat (B*N) state
+    state = init_state_fn(B * N)
+    tokens = jnp.full((B * N,), blank_id, jnp.int32)
+    pred_out, state = predictor_step(tokens, state)
+
+    @jax.jit
+    def fused_step(enc_t, pred_out, ctc_t):
+        # enc_t (B*N, De); ctc_t (B, V) -> fused (B*N, V)
+        logp = joint_step(enc_t, pred_out)
+        V = logp.shape[-1]
+        ctc_rep = jnp.repeat(ctc_t, N, axis=0)
+        fused = jnp.logaddexp(
+            jnp.log(transducer_weight) + logp,
+            jnp.log(ctc_weight) + ctc_rep,
+        )
+        return fused
+
+    @jax.jit
+    def reorder_and_step(state, pred_out, sel, new_tokens, advance):
+        """Gather beam entries by sel (B*N,), then predictor-step where
+        advance (emitted a token)."""
+        state_g = jax.tree.map(
+            lambda s: jnp.take(s, sel, axis=1) if s.ndim >= 2 else s, state
+        )
+        pred_g = jnp.take(pred_out, sel, axis=0)
+        cand_out, cand_state = predictor_step(new_tokens, state_g)
+        out = jnp.where(advance[:, None], cand_out, pred_g)
+        st = jax.tree.map(
+            lambda new, old: jnp.where(
+                advance[None, :, None] if new.ndim == 3
+                else advance[:, None], new, old),
+            cand_state, state_g,
+        )
+        return out, st
+
+    # host-side beams: per utterance, list of (hyp tuple) + scores
+    hyps = [[(blank_id,)] + [None] * (N - 1) for _ in range(B)]
+    scores = np.full((B, N), -np.inf)
+    scores[:, 0] = 0.0
+
+    for t in range(int(lens.max())):
+        enc_t = jnp.repeat(enc_out[:, t], N, axis=0)  # (B*N, De)
+        fused = np.asarray(fused_step(enc_t, pred_out, ctc_probs[:, t]))
+        V = fused.shape[-1]
+        sel = np.zeros((B * N,), np.int64)
+        new_tok = np.zeros((B * N,), np.int32)
+        advance = np.zeros((B * N,), bool)
+        for b in range(B):
+            if t >= lens[b]:
+                sel[b * N : (b + 1) * N] = b * N + np.arange(N)
+                continue
+            cand = {}
+            for j in range(N):
+                if hyps[b][j] is None:
+                    continue
+                base = scores[b, j]
+                lp = fused[b * N + j]
+                top = np.argpartition(lp, -N)[-N:]
+                for u in top:
+                    s = base + lp[u]
+                    if u == blank_id:
+                        key = (hyps[b][j], j, False)
+                        hyp_new = hyps[b][j]
+                        src, adv = j, False
+                    else:
+                        hyp_new = hyps[b][j] + (int(u),)
+                        src, adv = j, True
+                    k = hyp_new
+                    if k in cand:
+                        cand[k] = (np.logaddexp(cand[k][0], s),) + cand[k][1:]
+                    else:
+                        cand[k] = (s, src, adv, int(u))
+            best = sorted(cand.items(), key=lambda kv: kv[1][0],
+                          reverse=True)[:N]
+            new_hyps = [None] * N
+            for j, (hyp, (s, src, adv, u)) in enumerate(best):
+                new_hyps[j] = hyp
+                scores[b, j] = s
+                sel[b * N + j] = b * N + src
+                new_tok[b * N + j] = u if adv else hyp[-1]
+                advance[b * N + j] = adv
+            for j in range(len(best), N):
+                scores[b, j] = -np.inf
+                sel[b * N + j] = b * N
+            hyps[b] = new_hyps
+        pred_out, state = reorder_and_step(
+            state, pred_out, jnp.asarray(sel), jnp.asarray(new_tok),
+            jnp.asarray(advance),
+        )
+
+    results = []
+    for b in range(B):
+        order = np.argsort(-scores[b])
+        nbest, nscores = [], []
+        for j in order:
+            if hyps[b][j] is None:
+                continue
+            nbest.append([x for x in hyps[b][j][1:]])  # strip leading blank
+            nscores.append(float(scores[b, j]))
+        results.append(DecodeResult(
+            tokens=nbest[0] if nbest else [],
+            score=nscores[0] if nscores else 0.0,
+            nbest=nbest, nbest_scores=nscores,
+        ))
+    return results
