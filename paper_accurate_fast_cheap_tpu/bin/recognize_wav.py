@@ -1,0 +1,196 @@
+"""Long-form single-wav decoding CLI -> CTM (+ RTF log).
+
+Parity target: `wenet/bin/recognize_wav2.py` — fbank the whole file
+(`:493-520`), window into `--chunk_size` frames x `--batch_size`
+(`:323-351`, zero-padded tail), decode each window full-context (`:443-460`),
+emit CTM with token->word timing from CTC alignment (`:523-552`, using the
+release-missing ctc_align semantics), write `.rtf` timing log (`:481-489`).
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import logging
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="long-form wav decode")
+    p.add_argument("--config", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--wav", required=True, help="input wav file")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--mode", default="ctc_greedy_search",
+                   choices=["ctc_greedy_search", "ctc_prefix_beam_search",
+                            "rnnt_beam_search"])
+    p.add_argument("--chunk_size", type=int, default=2051,
+                   help="window length in fbank frames")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--beam_size", type=int, default=8)
+    p.add_argument("--ctc_weight", type=float, default=0.3)
+    p.add_argument("--transducer_weight", type=float, default=0.7)
+    return p.parse_args(argv)
+
+
+def window_batches(feats: np.ndarray, chunk: int, batch: int):
+    """(T, D) -> batches of (b, chunk, D) windows + valid lengths."""
+    T = feats.shape[0]
+    starts = list(range(0, max(T, 1), chunk))
+    for i in range(0, len(starts), batch):
+        group = starts[i : i + batch]
+        b = len(group)
+        out = np.zeros((b, chunk, feats.shape[1]), np.float32)
+        lens = np.zeros((b,), np.int32)
+        for j, s in enumerate(group):
+            n = min(chunk, T - s)
+            out[j, :n] = feats[s : s + n]
+            lens[j] = n
+        yield group, out, lens
+
+
+def main(argv=None):
+    args = get_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    from paper_accurate_fast_cheap_tpu.bin.recognize import (
+        build_decode_assets,
+    )
+    from paper_accurate_fast_cheap_tpu.data.pipeline import _read_wav_bytes
+    from paper_accurate_fast_cheap_tpu.decode import rnnt_search, search
+    from paper_accurate_fast_cheap_tpu.ops import ctc_utils
+    from paper_accurate_fast_cheap_tpu.utils.config import load_config
+
+    config = load_config(args.config)
+    tokenizer, model, model_type, params, featurize, dataset_conf = \
+        build_decode_assets(config, args.checkpoint)
+
+    with open(args.wav, "rb") as f:
+        wav, sr = _read_wav_bytes(f.read())
+    if sr != 16000:
+        from scipy.signal import resample_poly
+
+        g = np.gcd(sr, 16000)
+        wav = resample_poly(wav, 16000 // g, sr // g).astype(np.float32)
+        sr = 16000
+    audio_seconds = len(wav) / sr
+
+    t_start = time.perf_counter()
+    feats, feat_lens = featurize(
+        jnp.asarray(wav[None, :]), jnp.asarray([len(wav)]), train=False
+    )
+    feats_np = np.asarray(feats[0][: int(feat_lens[0])])
+
+    name = os.path.splitext(os.path.basename(args.wav))[0]
+    os.makedirs(args.output_dir, exist_ok=True)
+    subsample = 4  # conv2d ds4; frame rate after encoder = 0.04 s
+
+    if model_type == "transducer" and args.mode == "rnnt_beam_search":
+        predictor_step = jax.jit(
+            lambda tok, st: model.apply(params, tok, st,
+                                        method=model.predictor_step))
+        joint_step = jax.jit(
+            lambda e, pr: model.apply(params, e, pr,
+                                      method=model.joint_step))
+        init_state_fn = functools.partial(
+            model.apply, params, method=model.predictor_init_state)
+
+    fwd = jax.jit(
+        lambda f, l: model.apply(params, f, l,
+                                 method=model.forward_encoder))
+    ctc_fn = jax.jit(
+        lambda e: model.apply(params, e, method=model.ctc_logprobs))
+
+    ctm_lines = []
+    all_text = []
+    for group, wins, lens in window_batches(feats_np, args.chunk_size,
+                                            args.batch_size):
+        enc, enc_lens = fwd(jnp.asarray(wins), jnp.asarray(lens))
+        logp = ctc_fn(enc)
+        logp_np = np.asarray(logp)
+        lens_np = np.asarray(enc_lens)
+        if args.mode == "ctc_greedy_search":
+            res = search.ctc_greedy_search(logp_np, lens_np)
+        elif args.mode == "ctc_prefix_beam_search":
+            res = search.ctc_prefix_beam_search(logp_np, lens_np,
+                                                beam_size=args.beam_size)
+        else:
+            res = rnnt_search.rnnt_beam_search(
+                predictor_step, joint_step, init_state_fn, enc, enc_lens,
+                logp, beam_size=args.beam_size,
+                ctc_weight=args.ctc_weight,
+                transducer_weight=args.transducer_weight,
+            )
+        for start_frame, r, b in zip(group, res, range(len(res))):
+            if not r.tokens:
+                continue
+            # token times: decode modes with peak times use them, otherwise
+            # force-align the window's CTC posteriors to the hypothesis
+            if r.times and len(r.times) == len(r.tokens):
+                peaks = r.times
+            else:
+                ali = ctc_utils.force_align(
+                    logp_np[b, : lens_np[b]], r.tokens)
+                spans = ctc_utils.alignment_to_token_spans(ali)
+                peaks = [s[1] for s in spans]
+            offset_sec = start_frame * 0.01
+            times = ctc_utils.gen_timestamps_from_peak(
+                peaks, max_duration=lens_np[b] * subsample * 0.01,
+                frame_rate=subsample * 0.01,
+            )
+            toks = tokenizer.ids2tokens(r.tokens)
+            # merge subword pieces into words at '▁' boundaries for CTM
+            words, word_times = _pieces_to_words(toks, times)
+            for w, (ts, te) in zip(words, word_times):
+                ctm_lines.append(
+                    f"{name} 1 {offset_sec + ts:.2f} {te - ts:.2f} {w}"
+                )
+            text, _ = tokenizer.detokenize(r.tokens)
+            all_text.append(text)
+
+    elapsed = time.perf_counter() - t_start
+    rtf = elapsed / max(audio_seconds, 1e-9)
+    with open(os.path.join(args.output_dir, name + ".ctm"), "w") as f:
+        f.write("\n".join(ctm_lines) + ("\n" if ctm_lines else ""))
+    with open(os.path.join(args.output_dir, name + ".txt"), "w") as f:
+        f.write(" ".join(all_text) + "\n")
+    with open(os.path.join(args.output_dir, name + ".rtf"), "w") as f:
+        f.write(f"final_rtf {rtf:.6f} elapsed {elapsed:.3f} "
+                f"audio_seconds {audio_seconds:.2f}\n")
+    logging.info("decoded %s: %.1fs audio in %.2fs (RTF %.4f)", name,
+                 audio_seconds, elapsed, rtf)
+    return 0
+
+
+def _pieces_to_words(pieces, times):
+    """Merge sentencepiece pieces into words with merged time spans."""
+    words, spans = [], []
+    cur, ts, te = "", None, None
+    for p, (a, b) in zip(pieces, times):
+        starts_word = p.startswith("▁")
+        text = p.replace("▁", "")
+        if starts_word and cur:
+            words.append(cur)
+            spans.append((ts, te))
+            cur, ts = "", None
+        if not cur:
+            ts = a
+        cur += text
+        te = b
+    if cur:
+        words.append(cur)
+        spans.append((ts, te))
+    # drop empties (pure '▁' pieces)
+    out = [(w, s) for w, s in zip(words, spans) if w]
+    if not out:
+        return [], []
+    ws, ss = zip(*out)
+    return list(ws), list(ss)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,146 @@
+"""End-to-end training CLI on a synthetic shard + checkpoint machinery."""
+import io
+import tarfile
+import wave
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+from paper_accurate_fast_cheap_tpu.train import checkpointing
+
+
+def _wav_bytes(samples, sr=16000):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((samples * 32767).astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+@pytest.fixture
+def workspace(tmp_path):
+    rng = np.random.RandomState(0)
+    shard = tmp_path / "shard0.tar"
+    texts = ["a b", "b c a", "c", "a a b"]
+    with tarfile.open(shard, "w") as tf:
+        for i, txt in enumerate(texts):
+            key = f"utt{i}"
+            wav = _wav_bytes(rng.randn(8000) * 0.05)
+            for ext, data in (("txt", txt.encode()), ("wav", wav)):
+                info = tarfile.TarInfo(f"{key}.{ext}")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+    (tmp_path / "shards.txt").write_text(str(shard) + "\n")
+    units = tmp_path / "units.txt"
+    units.write_text("<blank> 0\n<unk> 1\na 2\nb 3\nc 4\n<sos> 5\n")
+    config = {
+        "encoder": "conformer",
+        "encoder_conf": {
+            "output_size": 32, "attention_heads": 2, "linear_units": 64,
+            "num_blocks": 1, "dropout_rate": 0.0,
+            "selfattention_layer_type": "rwkv_tmix60_bidirectional",
+            "rnn_att_version": "rwkv", "rnn_att_direction": "bi",
+            "input_layer": "conv2d",
+        },
+        "decoder": "bitransformer",
+        "decoder_conf": {"attention_heads": 2, "linear_units": 64,
+                         "num_blocks": 1, "r_num_blocks": 1,
+                         "dropout_rate": 0.0},
+        "tokenizer": "whitespace",
+        "tokenizer_conf": {"symbol_table_path": str(units),
+                           "special_tokens": {"<sos>": 5, "<eos>": 5}},
+        "model": "asr_model",
+        "model_conf": {"ctc_weight": 0.5, "reverse_weight": 0.3},
+        "dataset_conf": {
+            "fbank_conf": {"num_mel_bins": 23, "frame_shift": 10,
+                           "frame_length": 25, "dither": 0.1},
+            "spec_aug": True,
+            "spec_aug_conf": {"num_t_mask": 1, "num_f_mask": 1,
+                              "max_t": 10, "max_f": 5},
+            "filter_conf": {"max_length": 2000, "min_length": 1},
+            "batch_conf": {"batch_type": "static", "batch_size": 2},
+            "shuffle": False,
+        },
+        "grad_clip": 5.0,
+        "optim": "adam",
+        "optim_conf": {"lr": 1e-3},
+        "scheduler": "steadylr",
+        "scheduler_conf": {"warmup_steps": 5},
+        "max_epoch": 1,
+        "log_interval": 1,
+        "snapshot_saving_conf": {"save_interval": 2,
+                                 "save_optimizer_every": 1},
+    }
+    cfg_path = tmp_path / "train.yaml"
+    cfg_path.write_text(yaml.safe_dump(config))
+    return tmp_path
+
+
+def test_train_cli_end_to_end(workspace):
+    from paper_accurate_fast_cheap_tpu.bin.train import main
+
+    model_dir = workspace / "exp"
+    rc = main([
+        "--config", str(workspace / "train.yaml"),
+        "--train_data", str(workspace / "shards.txt"),
+        "--cv_data", str(workspace / "shards.txt"),
+        "--data_type", "shard",
+        "--model_dir", str(model_dir),
+        "--num_epochs", "1",
+        "--print_model",
+    ])
+    assert rc == 0
+    assert (model_dir / "train.yaml").exists()
+    epochs = [p for p in model_dir.iterdir()
+              if p.name.startswith("epoch_")]
+    assert any(p.is_dir() for p in epochs)
+    # mid-epoch snapshot with cv_loss in sidecar
+    snaps = [p for p in model_dir.iterdir() if "snapshot" in p.name
+             and p.suffix == ".yaml"]
+    assert snaps
+    info = yaml.safe_load(snaps[0].read_text())
+    assert "cv_loss" in info and np.isfinite(info["cv_loss"])
+
+    # resume from the epoch checkpoint
+    ck = sorted(str(p) for p in epochs if p.is_dir())[0]
+    rc = main([
+        "--config", str(workspace / "train.yaml"),
+        "--train_data", str(workspace / "shards.txt"),
+        "--data_type", "shard",
+        "--model_dir", str(model_dir),
+        "--checkpoint", ck,
+        "--num_epochs", "2",
+    ])
+    assert rc == 0
+    assert (model_dir / "epoch_0001").is_dir()
+
+
+def test_checkpoint_roundtrip_and_average(tmp_path):
+    params = {"w": jnp.arange(4.0), "b": jnp.ones((2, 2))}
+    checkpointing.save_checkpoint(str(tmp_path / "epoch_0001"), params,
+                                  info={"cv_loss": 1.0})
+    params2 = {"w": jnp.arange(4.0) * 3, "b": jnp.ones((2, 2)) * 3}
+    checkpointing.save_checkpoint(str(tmp_path / "epoch_0002"), params2,
+                                  info={"cv_loss": 0.5})
+    restored, _, info = checkpointing.load_checkpoint(
+        str(tmp_path / "epoch_0001"), params)
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.arange(4.0))
+    assert info["cv_loss"] == 1.0
+    avg = checkpointing.average_checkpoints(
+        [str(tmp_path / "epoch_0001"), str(tmp_path / "epoch_0002")], params)
+    np.testing.assert_allclose(np.asarray(avg["w"]), np.arange(4.0) * 2)
+    best = checkpointing.select_best_checkpoints(str(tmp_path), 1)
+    assert best == [str(tmp_path / "epoch_0002")]
+
+
+def test_forced_snapshot_flag(tmp_path):
+    assert not checkpointing.check_forced_full_snapshot_flag(str(tmp_path))
+    (tmp_path / "force_full_snapshot").touch()
+    assert checkpointing.check_forced_full_snapshot_flag(str(tmp_path))
+    assert not (tmp_path / "force_full_snapshot").exists()
