@@ -100,7 +100,7 @@ def _make_attention(
             layer_id=layer_id,
             do_bfloat16=rwkv_conf.get("rwkv_do_bfloat16", True),
             wkv_impl=rwkv_conf.get("wkv_impl", "chunked"),
-            wkv_chunk_size=rwkv_conf.get("wkv_chunk_size", 16),
+            wkv_chunk_size=rwkv_conf.get("wkv_chunk_size", 256),
             bidirectional_layers=rwkv_conf.get("bidirectional_layers"),
             alt_decoding=rwkv_conf.get("alt_decoding", False),
         )

@@ -67,7 +67,7 @@ class RWKVTimeMix(nn.Module):
     dim_att: int
     layer_id: int = 0
     wkv_impl: str = "chunked"
-    wkv_chunk_size: int = 16
+    wkv_chunk_size: int = 256
 
     @nn.compact
     def __call__(self, x):
@@ -161,7 +161,7 @@ class RWKVAttention(nn.Module):
     layer_id: int = 0
     do_bfloat16: bool = True
     wkv_impl: str = "chunked"
-    wkv_chunk_size: int = 16
+    wkv_chunk_size: int = 256
     drop_prob: float = 0.2           # P(drop R2L) for dirdrop
     keep_both_prob: float = 0.8      # P(keep both) for dirdrop_both
     bidirectional_layers: Optional[tuple] = None  # eval override (layer ids)

@@ -10,40 +10,36 @@ state ``S in R^{N x N}`` (rows = key channel j, cols = value channel i):
 with ``decay_t = exp(-exp(w_t))`` where ``w_t`` is the raw per-channel decay
 logit (data-dependent in RWKV-6), and ``u`` a per-channel "bonus" applied to
 the current token only.  A variant carrying an initial state exists for
-streaming (`wkv6state_cuda.cu:8-25`).
+streaming (`wkv6state_cuda.cu:8-25`) — here that is just the ``state``
+argument (scan carry).
 
 TPU-first design (NOT a port of the CUDA thread layout):
 
-* ``wkv6_ref``     — direct ``lax.scan`` over time, the semantic oracle and the
-  streaming/decode path (O(T) memory, exact).
-* ``wkv6_chunked`` — block-parallel formulation: the sequence is split into
-  chunks of length L; within a chunk the contribution of every (t, s) pair is
-  a masked matmul (MXU), across chunks an ``lax.scan`` carries the N x N state.
-  All contractions are MXU-shaped; accumulation is fp32 regardless of the
-  input dtype (mirrors the CUDA kernel's float accumulators).  Fully
-  differentiable via XLA autodiff (the reference needs 4 hand-written
-  backward scan kernels, `wkv6_cuda.cu:66-263`; here the chunked form's
-  VJP is itself chunked matmuls generated by jax.grad).
+* ``wkv6_ref``     — direct ``lax.scan`` over time: semantic oracle and the
+  exact streaming/decode path (O(T) memory).
+* ``wkv6_chunked`` — two-level block-parallel formulation:
 
-Math of the chunked form, per (b, h), chunk length L, log-decay
-``lw_t = -exp(w_t) <= 0``, inclusive cumsum ``B_t = sum_{tau<=t} lw_tau``,
-exclusive ``Be_t = B_t - lw_t``:
+  - inner blocks of S=16 steps: the strict-lower-triangular intra-block
+    attention uses midpoint-recentred factor matmuls (exact in fp32 because
+    the exponent budget is (S/2+1) * rate);
+  - each inner block is summarized by a "block state" KV_j = sum_s
+    (k_s * decay-to-block-end) v_s^T; contributions between blocks inside an
+    outer chunk flow through the per-channel block-transfer factors
+    D[i, j] = exp(-(decay of blocks j+1..i-1)) — every factor involved is
+    <= 1, so the hierarchy is unconditionally overflow-free (no clamping,
+    unlike a single-level factorization at large L);
+  - an ``lax.scan`` carries the (N, N) state across outer chunks (default
+    256 steps -> 16x fewer sequential scan steps than single-level L=16).
 
-    y_t = r_t @ diag(exp(Be_t)) @ S_in                       (cross-chunk)
-        + sum_{s<t} (r_t * exp(Be_t - B_s)) . k_s * v_s      (intra, strict)
-        + (r_t * u) . k_t * v_t                              (diagonal)
-    S_out = diag(exp(B_{L-1})) @ S_in
-          + sum_s (k_s * exp(B_{L-1} - B_s)) outer v_s
-
-The intra term factors as (r * exp(Be - m)) @ (k * exp(m - B))^T with a
-per-channel midpoint m = B_{L//2}, which bounds the exponent magnitude by
-(L/2 + 1) * max(exp(w)); combined with a no-op clamp on w this is exact in
-fp32 for L <= 16 (see the in-function comment).
+  All contractions are MXU-shaped, accumulation is fp32 regardless of input
+  dtype (mirrors the CUDA kernel's float accumulators), and the whole thing
+  differentiates through XLA autodiff (the reference needs 4 hand-written
+  backward scan kernels, `wkv6_cuda.cu:66-263`).
 """
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -87,7 +83,6 @@ def wkv6_ref(
 
     def step(S, inp):
         r_t, k_t, v_t, d_t = inp  # each (B, H, N)
-        # scalar per (b,h): (r*u) . k ; then outer with v
         ruk = jnp.sum(r_t * uf[None] * k_t, axis=-1, keepdims=True)  # (B,H,1)
         y = ruk * v_t + jnp.einsum("bhj,bhji->bhi", r_t, S)
         S = d_t[..., None] * S + k_t[..., None] * v_t[..., None, :]
@@ -103,7 +98,8 @@ def wkv6_ref(
     return y
 
 
-@functools.partial(jax.jit, static_argnames=("chunk_size", "return_state"))
+@functools.partial(jax.jit, static_argnames=("chunk_size", "inner_size",
+                                             "return_state"))
 def wkv6_chunked(
     r: jax.Array,
     k: jax.Array,
@@ -111,88 +107,125 @@ def wkv6_chunked(
     w: jax.Array,
     u: jax.Array,
     state: Optional[jax.Array] = None,
-    chunk_size: int = 16,
+    chunk_size: int = 256,
+    inner_size: int = 16,
     return_state: bool = False,
 ):
-    """Chunked (block-parallel) WKV6 — the TPU training/inference path.
+    """Two-level chunked WKV6 — the TPU training/inference path.
 
-    Same signature/semantics as :func:`wkv6_ref`.  T is internally padded to a
-    multiple of ``chunk_size`` with zero keys (no state contribution).
+    Same signature/semantics as :func:`wkv6_ref`.  T is internally padded to
+    a multiple of ``chunk_size`` (must be a multiple of ``inner_size``).
     """
     B, T, H, N = r.shape
     out_dtype = r.dtype
     L = int(chunk_size)
+    S_ = min(int(inner_size), L)
+    if L % S_:
+        raise ValueError(f"chunk_size {L} not a multiple of inner {S_}")
+    nb = L // S_
     pad = (-T) % L
     rf, kf, vf, wf, uf = _as_f32(r, k, v, w, u)
     if pad:
         zpad = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        # Padded keys are zero (no state contribution); padded w of 0 keeps
-        # the cumulative-decay sums finite.  Padded outputs are sliced off.
+        # zero keys contribute nothing; padded w of 0 keeps cumsums finite;
+        # padded outputs are sliced off.
         rf, kf, vf, wf = zpad(rf), zpad(kf), zpad(vf), zpad(wf)
     Tp = T + pad
-    NC = Tp // L
+    C = Tp // L
 
-    # Clamp the raw decay logit so the factored intra-chunk exponentials stay
-    # within fp32 range: per-step log-decay rate = exp(w), midpoint-recentred
-    # exponents are bounded by (L/2 + 1) * rate, kept <= ~80 (fp32 overflows
-    # at e^88).  At L=16 the rate cap is ~8.9, i.e. a per-step decay floor of
-    # exp(-8.9) ~ 1.4e-4 -- indistinguishable from total forgetting, so the
-    # clamp is semantically a no-op (the sequential CUDA reference needs none
-    # only because it never exponentiates a cumulative sum).  For L > 16 the
-    # cap starts to bind at decays that still matter; prefer chunk_size <= 16
-    # for exact parity (the Pallas kernel handles larger blocks exactly).
-    w_clamp = float(np.log(160.0 / (L + 2)))
+    # guard only against exp() overflow INSIDE an inner block's midpoint
+    # factorization: rate <= 160/(S+2); at S=16 the cap is a per-step decay
+    # floor of exp(-8.9) ~ 1.4e-4 — semantically a no-op.
+    w_clamp = float(np.log(160.0 / (S_ + 2)))
     wf = jnp.minimum(wf, w_clamp)
 
-    # -> (B, H, NC, L, N) then scan over NC
-    def chunkify(x):
-        return x.reshape(B, NC, L, H, N).transpose(0, 3, 1, 2, 4)
+    shp = (B, C, nb, S_, H, N)
+    perm = (0, 4, 1, 2, 3, 5)  # -> (B, H, C, nb, S, N)
+    rc = rf.reshape(shp).transpose(perm)
+    kc = kf.reshape(shp).transpose(perm)
+    vc = vf.reshape(shp).transpose(perm)
+    wc = wf.reshape(shp).transpose(perm)
 
-    rc, kc, vc, wc = map(chunkify, (rf, kf, vf, wf))
-    lw = -jnp.exp(wc)  # log decay, <= 0        (B,H,NC,L,N)
-    Bi = jnp.cumsum(lw, axis=-2)               # inclusive
-    Be = Bi - lw                               # exclusive
-    m = Bi[..., L // 2 : L // 2 + 1, :]        # per-chunk midpoint (B,H,NC,1,N)
-    q_dec = rc * jnp.exp(Be - m)               # bounded exponents
-    k_dec = kc * jnp.exp(m - Bi)
-    b_last = Bi[..., -1:, :]                   # (B,H,NC,1,N)
-    k_tail = kc * jnp.exp(b_last - Bi)         # decay to chunk end, <= 1 factor
+    lw = -jnp.exp(wc)                       # (B,H,C,nb,S,N), log decay <= 0
+    Bi = jnp.cumsum(lw, axis=-2)            # inclusive, within inner block
+    Be = Bi - lw                            # exclusive
+    total = Bi[..., -1, :]                  # (B,H,C,nb,N) block log-decay
+    pfx_incl = jnp.cumsum(total, axis=-2)   # over blocks within outer chunk
+    pfx_excl = pfx_incl - total
 
-    # Intra-chunk attention matrix (strictly lower triangular) + diag bonus.
-    # where-mask (not multiply) so that any overflow in the never-used upper
-    # triangle (t <= s, where the decay "factor" exceeds 1) cannot produce
-    # inf * 0 = nan; the masked entries also stay out of the VJP because the
-    # incoming cotangent is where-masked the same way.
-    A = jnp.einsum("bhctn,bhcsn->bhcts", q_dec, k_dec)   # (B,H,NC,L,L)
-    tri = jnp.tril(jnp.ones((L, L), bool), k=-1)
+    # compute dtype for the bulky factor tensors: bf16 I/O like the CUDA
+    # kernel (fp32 accumulation happens inside the MXU / in the masked A)
+    cd = jnp.bfloat16 if out_dtype == jnp.bfloat16 else jnp.float32
+    f32 = jnp.float32
+    vc_c = vc.astype(cd)
+
+    # ---- intra (within inner block), midpoint-recentred, exact
+    m = Bi[..., S_ // 2 : S_ // 2 + 1, :]
+    q_mid = (rc * jnp.exp(Be - m)).astype(cd)
+    k_mid = (kc * jnp.exp(m - Bi)).astype(cd)
+    A = jnp.einsum("...tn,...sn->...ts", q_mid, k_mid,
+                   preferred_element_type=f32)
+    tri = jnp.tril(jnp.ones((S_, S_), bool), k=-1)
     A = jnp.where(tri, A, 0.0)
-    diag = jnp.sum(rc * uf[None, :, None, None, :] * kc, axis=-1)  # (B,H,NC,L)
-    y_intra = jnp.einsum("bhcts,bhcsn->bhctn", A, vc) + diag[..., None] * vc
+    diag = jnp.sum(rc * uf[None, :, None, None, None, :] * kc, axis=-1)
+    y_intra = jnp.einsum("...ts,...sn->...tn", A, vc_c,
+                         preferred_element_type=f32) \
+        + diag[..., None] * vc
 
-    r_cross = rc * jnp.exp(Be)                 # decay from chunk start
+    # ---- between inner blocks (same outer chunk): block states + transfer
+    q2 = rc * jnp.exp(Be)                               # decay from block
+    k2 = kc * jnp.exp(total[..., None, :] - Bi)         # decay to block end
+    KV = jnp.einsum("...sn,...sp->...np", k2.astype(cd), vc_c,
+                    preferred_element_type=f32)         # (B,H,C,nb,N,N)
+    # D[i, j] = exp(sum of block totals j+1..i-1) for j < i
+    D = jnp.exp(
+        jnp.clip(
+            pfx_excl[..., :, None, :] - pfx_incl[..., None, :, :],
+            None, 0.0,
+        )
+    )
+    blk_tri = jnp.tril(jnp.ones((nb, nb), bool), k=-1)
+    D = jnp.where(blk_tri[..., None], D, 0.0)
+    M = jnp.einsum("...ijn,...jnp->...inp", D, KV,
+                   preferred_element_type=f32)          # (B,H,C,nb,N,N)
+    y_between = jnp.einsum("...isn,...inp->...isp", q2.astype(cd), M,
+                           preferred_element_type=f32)
+
+    # ---- across outer chunks: lax.scan with (N, N) carry
+    q_glob = q2 * jnp.exp(pfx_excl)[..., None, :]       # (B,H,C,nb,S,N)
+    outer_total = pfx_incl[..., -1, :]                  # (B,H,C,N)
+    k_tail = k2 * jnp.exp(
+        outer_total[..., None, None, :] - pfx_incl[..., None, :]
+    )
+    flat = lambda x, d: x.astype(d).reshape(B, H, C, L, N)
+    q_glob_f, k_tail_f, v_f = (flat(q_glob, cd), flat(k_tail, cd),
+                               flat(vc, cd))
+
     if state is None:
         S0 = jnp.zeros((B, H, N, N), jnp.float32)
     else:
         S0 = state.astype(jnp.float32)
 
-    def chunk_step(S, inp):
-        r_cr, k_tl, v_c, blast = inp  # (B,H,L,N) x3, (B,H,1,N)
-        y_cross = jnp.einsum("bhtj,bhji->bhti", r_cr, S)
-        S_new = jnp.exp(blast[..., 0, :, None]) * S + jnp.einsum(
-            "bhsj,bhsi->bhji", k_tl, v_c
+    def chunk_step(Sc, inp):
+        q_c, k_c, v_c, ot = inp
+        y_cross = jnp.einsum("bhtj,bhji->bhti", q_c, Sc.astype(cd),
+                             preferred_element_type=f32)
+        S_new = jnp.exp(ot)[..., None] * Sc + jnp.einsum(
+            "bhsj,bhsi->bhji", k_c, v_c, preferred_element_type=f32
         )
         return S_new, y_cross
 
-    scan_inps = tuple(
-        jnp.moveaxis(x, 2, 0) for x in (r_cross, k_tail, vc, b_last)
+    scan_inps = (
+        jnp.moveaxis(q_glob_f, 2, 0), jnp.moveaxis(k_tail_f, 2, 0),
+        jnp.moveaxis(v_f, 2, 0), jnp.moveaxis(outer_total, 2, 0),
     )
-    S_final, y_cross = jax.lax.scan(chunk_step, S0, scan_inps)
-    y_cross = jnp.moveaxis(y_cross, 0, 2)      # (B,H,NC,L,N)
+    S_fin, y_cross = jax.lax.scan(chunk_step, S0, scan_inps)
+    y_cross = jnp.moveaxis(y_cross, 0, 2).reshape(B, H, C, nb, S_, N)
 
-    y = (y_intra + y_cross).transpose(0, 2, 3, 1, 4).reshape(B, Tp, H, N)
-    y = y[:, :T].astype(out_dtype)
+    y = (y_intra + y_between + y_cross).transpose(0, 2, 3, 4, 1, 5)
+    y = y.reshape(B, Tp, H, N)[:, :T].astype(out_dtype)
     if return_state:
-        return y, S_final
+        return y, S_fin
     return y
 
 
@@ -203,7 +236,7 @@ def wkv6(
     w: jax.Array,
     u: jax.Array,
     state: Optional[jax.Array] = None,
-    chunk_size: int = 16,
+    chunk_size: int = 256,
     return_state: bool = False,
     impl: str = "chunked",
 ):

@@ -116,3 +116,60 @@ def test_encoder_rtf_cli(trained, tmp_path):
     assert rc == 0
     txt = out.read_text()
     assert "final_rtf" in txt and "minutes_audio_per_sec" in txt
+
+
+def test_python_api_transcribe(trained, tmp_path):
+    from paper_accurate_fast_cheap_tpu.api import load_model
+
+    workspace, model_dir = trained
+    model = load_model(str(model_dir))
+    rng = np.random.RandomState(11)
+    wav_path = tmp_path / "u.wav"
+    wav_path.write_bytes(_wav_bytes(rng.randn(8000) * 0.05))
+    out = model.transcribe(str(wav_path), tokens_info=True)
+    assert "text" in out and isinstance(out["text"], str)
+    assert "tokens" in out and "times" in out
+    # array input works too
+    out2 = model.transcribe(rng.randn(8000).astype(np.float32) * 0.05)
+    assert "text" in out2
+
+
+def test_make_shard_and_cmvn_tools(tmp_path):
+    from paper_accurate_fast_cheap_tpu.bin.compute_cmvn_stats import (
+        main as cmvn_main,
+    )
+    from paper_accurate_fast_cheap_tpu.bin.make_shard import (
+        main as shard_main,
+    )
+    from paper_accurate_fast_cheap_tpu.frontend.cmvn import load_cmvn_json
+
+    rng = np.random.RandomState(3)
+    wavs = {}
+    for i in range(3):
+        p = tmp_path / f"w{i}.wav"
+        p.write_bytes(_wav_bytes(rng.randn(8000) * 0.05))
+        wavs[f"utt{i}"] = str(p)
+    (tmp_path / "wav.scp").write_text(
+        "".join(f"{k} {v}\n" for k, v in wavs.items()))
+    (tmp_path / "text").write_text(
+        "".join(f"utt{i} hello {i}\n" for i in range(3)))
+    out_dir = tmp_path / "shards"
+    rc = shard_main([
+        "--wav_scp", str(tmp_path / "wav.scp"),
+        "--text", str(tmp_path / "text"),
+        "--output_dir", str(out_dir),
+        "--num_utts_per_shard", "2",
+    ])
+    assert rc == 0
+    shards = (out_dir / "shards.txt").read_text().strip().split("\n")
+    assert len(shards) == 2
+
+    rc = cmvn_main([
+        "--data", str(out_dir / "shards.txt"),
+        "--data_type", "shard",
+        "--num_mel_bins", "23",
+        "--out_cmvn", str(tmp_path / "cmvn.json"),
+    ])
+    assert rc == 0
+    mean, istd = load_cmvn_json(str(tmp_path / "cmvn.json"))
+    assert mean.shape == (23,) and np.isfinite(mean).all()
