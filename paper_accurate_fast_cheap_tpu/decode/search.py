@@ -170,6 +170,93 @@ def ctc_prefix_beam_search(
     return results
 
 
+def attention_beam_search(
+    decoder_one_step,
+    enc_out: jax.Array,
+    enc_lens: jax.Array,
+    sos: int,
+    eos: int,
+    beam_size: int = 10,
+    max_len: Optional[int] = None,
+    length_penalty: float = 0.0,
+) -> List[DecodeResult]:
+    """Pure attention AR beam search (`search.py:251-360` semantics).
+
+    decoder_one_step(enc (N, T, D), enc_lens (N,), ys (N, U), ys_lens (N,))
+    -> last-position log-probs (N, V).  Runs batched over (utt x beam).
+    """
+    B, T, D = enc_out.shape
+    N = beam_size
+    if max_len is None:
+        max_len = int(np.max(np.asarray(enc_lens))) + 1
+    enc_rep = jnp.repeat(enc_out, N, axis=0)
+    lens_rep = jnp.repeat(enc_lens, N, axis=0)
+
+    ys = np.full((B * N, max_len + 1), eos, np.int32)
+    ys[:, 0] = sos
+    scores = np.full((B, N), -np.inf)
+    scores[:, 0] = 0.0
+    finished = np.zeros((B, N), bool)
+    fin_hyps: List[List[Tuple[float, List[int]]]] = [[] for _ in range(B)]
+
+    step_fn = jax.jit(decoder_one_step)
+    for u in range(max_len):
+        logp = np.asarray(step_fn(
+            enc_rep, lens_rep, jnp.asarray(ys[:, : u + 1]),
+            jnp.full((B * N,), u + 1, jnp.int32),
+        ))  # (B*N, V)
+        V = logp.shape[-1]
+        for b in range(B):
+            cand = []
+            for j in range(N):
+                if not np.isfinite(scores[b, j]):
+                    continue
+                if finished[b, j]:
+                    continue
+                lp = logp[b * N + j]
+                top = np.argsort(lp)[-N:]
+                for tok in top:
+                    cand.append((scores[b, j] + lp[tok], j, int(tok)))
+            if not cand:
+                continue
+            cand.sort(reverse=True)
+            new_ys = ys[b * N : (b + 1) * N].copy()
+            new_scores = np.full(N, -np.inf)
+            new_fin = np.zeros(N, bool)
+            kept = 0
+            for s, j, tok in cand:
+                if kept >= N:
+                    break
+                if tok == eos:
+                    norm = s / ((u + 1) ** length_penalty) \
+                        if length_penalty else s
+                    fin_hyps[b].append(
+                        (norm, [int(x) for x in ys[b * N + j, 1 : u + 1]])
+                    )
+                    continue
+                new_ys[kept] = ys[b * N + j]
+                new_ys[kept, u + 1] = tok
+                new_scores[kept] = s
+                kept += 1
+            ys[b * N : (b + 1) * N] = new_ys
+            scores[b] = new_scores
+            finished[b] = new_fin
+    results = []
+    for b in range(B):
+        # include unfinished best hypotheses as fallback
+        for j in range(N):
+            if np.isfinite(scores[b, j]):
+                fin_hyps[b].append(
+                    (scores[b, j],
+                     [int(x) for x in ys[b * N + j, 1 : max_len + 1]
+                      if x != eos])
+                )
+        fin_hyps[b].sort(key=lambda x: x[0], reverse=True)
+        best = fin_hyps[b][0] if fin_hyps[b] else (0.0, [])
+        results.append(DecodeResult(tokens=best[1], score=float(best[0])))
+    return results
+
+
 def attention_rescoring_scores(
     decoder_apply,
     enc_out: jax.Array,
