@@ -76,7 +76,8 @@ def ctc_greedy_search(
 @dataclasses.dataclass
 class _Prefix:
     """CTC prefix state: blank/non-blank ending scores + viterbi-ish timing
-    (mirrors PrefixScore in `search.py:61-103`)."""
+    + optional context-biasing boost (mirrors PrefixScore in
+    `search.py:61-103`)."""
 
     s: float = -np.inf           # blank-ending score
     ns: float = -np.inf          # non-blank-ending score
@@ -85,9 +86,14 @@ class _Prefix:
     cur_token_prob: float = -np.inf
     times_s: tuple = ()
     times_ns: tuple = ()
+    context_state: object = None
+    context_score: float = 0.0
 
     def score(self):
         return np.logaddexp(self.s, self.ns)
+
+    def total_score(self):
+        return self.score() + self.context_score
 
     def viterbi_score(self):
         return max(self.v_s, self.v_ns)
@@ -101,8 +107,10 @@ def ctc_prefix_beam_search(
     lengths: np.ndarray,
     beam_size: int = 10,
     blank_id: int = 0,
+    context_graph=None,
 ) -> List[DecodeResult]:
-    """Standard CTC prefix beam search with per-token peak times.
+    """Standard CTC prefix beam search with per-token peak times and
+    optional context-graph keyword biasing (`search.py:124-248`).
 
     Host-side over (T, V) log-posteriors; top-beam_size tokens expanded per
     frame (same pruning as the reference).
@@ -112,8 +120,10 @@ def ctc_prefix_beam_search(
     results = []
     for b in range(ctc_probs.shape[0]):
         T = int(lengths[b])
+        root_cs = context_graph.root if context_graph is not None else None
         cur: Dict[tuple, _Prefix] = {
-            (): _Prefix(s=0.0, ns=-np.inf, v_s=0.0, v_ns=0.0)
+            (): _Prefix(s=0.0, ns=-np.inf, v_s=0.0, v_ns=0.0,
+                        context_state=root_cs)
         }
         for t in range(T):
             logp = ctc_probs[b, t]
@@ -125,6 +135,8 @@ def ctc_prefix_beam_search(
                     if u == blank_id:
                         n = nxt[prefix]
                         n.s = np.logaddexp(n.s, ps.score() + p)
+                        n.context_state = ps.context_state
+                        n.context_score = ps.context_score
                         if ps.viterbi_score() + p > n.v_s:
                             n.v_s = ps.viterbi_score() + p
                             n.times_s = ps.times()
@@ -132,6 +144,8 @@ def ctc_prefix_beam_search(
                         # repeat: extend non-blank of same prefix
                         n = nxt[prefix]
                         n.ns = np.logaddexp(n.ns, ps.ns + p)
+                        n.context_state = ps.context_state
+                        n.context_score = ps.context_score
                         if ps.v_ns + p > n.v_ns:
                             n.v_ns = ps.v_ns + p
                             if p > ps.cur_token_prob:
@@ -143,6 +157,12 @@ def ctc_prefix_beam_search(
                         # and new token after blank
                         np_ = nxt[prefix + (int(u),)]
                         np_.ns = np.logaddexp(np_.ns, ps.s + p)
+                        if context_graph is not None \
+                                and np_.context_state is None:
+                            d, cs = context_graph.forward_one_step(
+                                ps.context_state, int(u))
+                            np_.context_state = cs
+                            np_.context_score = ps.context_score + d
                         if ps.v_s + p > np_.v_ns:
                             np_.v_ns = ps.v_s + p
                             np_.cur_token_prob = p
@@ -150,16 +170,29 @@ def ctc_prefix_beam_search(
                     else:
                         np_ = nxt[prefix + (int(u),)]
                         np_.ns = np.logaddexp(np_.ns, ps.score() + p)
+                        if context_graph is not None \
+                                and np_.context_state is None:
+                            d, cs = context_graph.forward_one_step(
+                                ps.context_state, int(u))
+                            np_.context_state = cs
+                            np_.context_score = ps.context_score + d
                         if ps.viterbi_score() + p > np_.v_ns:
                             np_.v_ns = ps.viterbi_score() + p
                             np_.cur_token_prob = p
                             np_.times_ns = ps.times() + (t,)
             cur = dict(
-                sorted(nxt.items(), key=lambda kv: kv[1].score(),
+                sorted(nxt.items(), key=lambda kv: kv[1].total_score(),
                        reverse=True)[:beam_size]
             )
+        if context_graph is not None:
+            for ps in cur.values():
+                ps.context_score += context_graph.finalize(
+                    ps.context_state)
+            cur = dict(sorted(cur.items(),
+                              key=lambda kv: kv[1].total_score(),
+                              reverse=True))
         nbest = [list(p) for p in cur.keys()]
-        scores = [float(ps.score()) for ps in cur.values()]
+        scores = [float(ps.total_score()) for ps in cur.values()]
         times = [list(ps.times()) for ps in cur.values()]
         results.append(DecodeResult(
             tokens=nbest[0] if nbest else [],
