@@ -134,11 +134,15 @@ class ConformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, att_mask=None, pos_emb=None, pad_mask=None,
-                 lengths=None, deterministic: bool = True):
+                 lengths=None, deterministic: bool = True,
+                 layer_state=None, return_state: bool = False):
         drop = lambda v: nn.Dropout(self.dropout_rate)(
             v, deterministic=deterministic
         )
         ff_scale = 0.5 if self.macaron_style else 1.0
+        att_state = layer_state["attn"] if layer_state else None
+        cnn_cache = layer_state["conv"] if layer_state else None
+        new_state = {}
 
         if self.macaron_style:
             res = x
@@ -152,9 +156,20 @@ class ConformerEncoderLayer(nn.Module):
         res = x
         y = nn.LayerNorm(epsilon=1e-5, name="norm_mha")(x)
         if isinstance(self.self_attn, RWKVAttention):
-            y = self.self_attn(y, y, att_mask, pos_emb, lengths=lengths,
-                               deterministic=deterministic)
+            if return_state:
+                y, new_state["attn"] = self.self_attn(
+                    y, y, att_mask, pos_emb, lengths=lengths,
+                    deterministic=deterministic, state=att_state,
+                    return_state=True,
+                )
+            else:
+                y = self.self_attn(y, y, att_mask, pos_emb, lengths=lengths,
+                                   deterministic=deterministic)
         else:
+            if return_state:
+                raise NotImplementedError(
+                    "streaming state only implemented for RWKV attention"
+                )
             y = self.self_attn(y, y, att_mask, pos_emb,
                                deterministic=deterministic)
         x = res + drop(y)
@@ -162,10 +177,17 @@ class ConformerEncoderLayer(nn.Module):
         if self.use_cnn_module:
             res = x
             y = nn.LayerNorm(epsilon=1e-5, name="norm_conv")(x)
-            y = ConvolutionModule(
+            conv = ConvolutionModule(
                 self.d_model, self.cnn_module_kernel, self.cnn_module_norm,
                 self.causal, name="conv_module",
-            )(y, pad_mask, deterministic=deterministic)
+            )
+            if return_state:
+                y, new_state["conv"] = conv(
+                    y, pad_mask, deterministic=deterministic,
+                    cache=cnn_cache, return_cache=True,
+                )
+            else:
+                y = conv(y, pad_mask, deterministic=deterministic)
             x = res + drop(y)
 
         res = x
@@ -178,6 +200,8 @@ class ConformerEncoderLayer(nn.Module):
 
         if self.use_cnn_module:
             x = nn.LayerNorm(epsilon=1e-5, name="norm_final")(x)
+        if return_state:
+            return x, new_state
         return x
 
 
@@ -222,6 +246,9 @@ class ConformerEncoder(nn.Module):
         *,
         deterministic: bool = True,
         return_layers: bool = False,
+        streaming_state=None,
+        return_state: bool = False,
+        offset: int = 0,
     ):
         rwkv_conf = dict(self.rwkv_conf or {})
         sub = SUBSAMPLE_CLASSES[self.input_layer](
@@ -234,7 +261,37 @@ class ConformerEncoder(nn.Module):
         xs, pos_emb = pos_cls(
             d_model=self.output_size,
             dropout_rate=self.positional_dropout_rate, name="pos_enc",
-        )(xs, deterministic=deterministic)
+        )(xs, offset=offset, deterministic=deterministic)
+
+        if return_state:
+            # streaming chunk path (`encoder.py:231-339` forward_chunk):
+            # the chunk is fully valid; recurrent state replaces masks
+            layer_states = (streaming_state or {}).get("layers")
+            new_states = []
+            for i in range(self.num_blocks):
+                attn = _make_attention(
+                    self.selfattention_layer_type, self.attention_heads,
+                    self.output_size, self.attention_dropout_rate,
+                    self.key_bias, self.num_blocks, i, rwkv_conf,
+                )
+                xs, st = ConformerEncoderLayer(
+                    d_model=self.output_size, self_attn=attn,
+                    linear_units=self.linear_units,
+                    dropout_rate=self.dropout_rate,
+                    activation=self.activation_type,
+                    macaron_style=self.macaron_style,
+                    use_cnn_module=self.use_cnn_module,
+                    cnn_module_kernel=self.cnn_module_kernel,
+                    cnn_module_norm=self.cnn_module_norm,
+                    causal=self.causal,
+                    normalize_before=self.normalize_before,
+                    name=f"layer_{i}",
+                )(xs, None, pos_emb, None, out_lens, True,
+                  layer_states[i] if layer_states else None, True)
+                new_states.append(st)
+            if self.normalize_before:
+                xs = nn.LayerNorm(epsilon=1e-5, name="after_norm")(xs)
+            return xs, out_lens, {"layers": new_states}
 
         T = xs.shape[1]
         pad_mask = mask_utils.make_pad_mask(out_lens, T)

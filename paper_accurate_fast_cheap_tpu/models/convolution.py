@@ -22,18 +22,35 @@ class ConvolutionModule(nn.Module):
     bias: bool = True
 
     @nn.compact
-    def __call__(self, x, mask_pad=None, *, deterministic: bool = True):
-        """x: (B, T, C); mask_pad: bool (B, T) True=valid."""
+    def __call__(self, x, mask_pad=None, *, deterministic: bool = True,
+                 cache=None, return_cache: bool = False):
+        """x: (B, T, C); mask_pad: bool (B, T) True=valid.  For causal
+        streaming, ``cache`` holds the previous chunk's last (kernel-1)
+        post-GLU frames (`convolution.py:89-144` cnn_cache role)."""
         if mask_pad is not None:
             x = jnp.where(mask_pad[..., None], x, 0.0)
         y = nn.Dense(2 * self.channels, use_bias=self.bias)(x)  # pointwise 1
         a, b = jnp.split(y, 2, axis=-1)
         y = a * nn.sigmoid(b)  # GLU
 
+        new_cache = None
         if self.causal:
-            pad = (self.kernel_size - 1, 0)
+            lorder = self.kernel_size - 1
+            if return_cache:
+                if cache is None:
+                    cache = jnp.zeros(
+                        (y.shape[0], lorder, self.channels), y.dtype
+                    )
+                y_in = jnp.concatenate([cache.astype(y.dtype), y], axis=1)
+                pad = (0, 0)
+                new_cache = y_in[:, -lorder:]
+                y = y_in
+            else:
+                pad = (lorder, 0)
         else:
             assert (self.kernel_size - 1) % 2 == 0
+            if return_cache:
+                raise ValueError("streaming conv cache requires causal=True")
             h = (self.kernel_size - 1) // 2
             pad = (h, h)
         y = nn.Conv(
@@ -52,6 +69,8 @@ class ConvolutionModule(nn.Module):
         y = nn.Dense(self.channels, use_bias=self.bias)(y)  # pointwise 2
         if mask_pad is not None:
             y = jnp.where(mask_pad[..., None], y, 0.0)
+        if return_cache:
+            return y, new_cache
         return y
 
 

@@ -70,7 +70,10 @@ class RWKVTimeMix(nn.Module):
     wkv_chunk_size: int = 256
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, state=None, return_state: bool = False):
+        """x: (B, T, C).  Optional streaming state = (x_prev (B, 1, C),
+        wkv_state (B, H, N, N)) — the `wkv6state` capability
+        (`wkv6state_cuda.cu:8-25`) expressed as an explicit carry."""
         C, A = self.n_embd, self.dim_att
         n_head = A // self.head_size
         ramps = _tmix_ramps(self.layer_id, self.n_layers, C, A, n_head,
@@ -96,8 +99,14 @@ class RWKVTimeMix(nn.Module):
 
         B, T, _ = x.shape
         dt = x.dtype
-        # token shift: xx_t = x_{t-1} - x_t (zero-padded at t=0)
-        x_prev = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+        # token shift: xx_t = x_{t-1} - x_t (zero or carried at t=0)
+        if state is not None:
+            lead = state[0].astype(dt)
+            wkv_state = state[1]
+        else:
+            lead = jnp.zeros((B, 1, C), dt)
+            wkv_state = None
+        x_prev = jnp.concatenate([lead, x[:, :-1]], axis=1)
         xx = x_prev - x
 
         xxx = x + xx * maa_x.astype(dt)
@@ -120,12 +129,22 @@ class RWKVTimeMix(nn.Module):
 
         hs = self.head_size
         shp = (B, T, n_head, hs)
-        y = wkv6_ops.wkv6(
+        wkv_out = wkv6_ops.wkv6(
             r.reshape(shp), k.reshape(shp), v.reshape(shp), w.reshape(shp),
-            u.astype(dt), chunk_size=self.wkv_chunk_size, impl=self.wkv_impl,
-        ).reshape(B, T, A)
+            u.astype(dt), state=wkv_state,
+            chunk_size=self.wkv_chunk_size, impl=self.wkv_impl,
+            return_state=return_state,
+        )
+        if return_state:
+            y, new_wkv = wkv_out
+        else:
+            y, new_wkv = wkv_out, None
+        y = y.reshape(B, T, A)
         y = nn.LayerNorm(epsilon=1e-5, name="ln_x")(y)
-        return nn.Dense(C, use_bias=False, name="output")(y)
+        y = nn.Dense(C, use_bias=False, name="output")(y)
+        if return_state:
+            return y, (x[:, -1:], new_wkv)
+        return y
 
 
 def flip_padded(x: jax.Array, lengths: Optional[jax.Array]):
@@ -169,7 +188,8 @@ class RWKVAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x_q, x_kv=None, mask=None, pos_emb=None, *,
-                 lengths=None, deterministic: bool = True):
+                 lengths=None, deterministic: bool = True,
+                 state=None, return_state: bool = False):
         x = x_q
         in_dtype = x.dtype
         if self.do_bfloat16:
@@ -182,7 +202,15 @@ class RWKVAttention(nn.Module):
         )
 
         if self.direction == "uni":
+            if return_state:
+                y, new_state = tmix(x, state=state, return_state=True)
+                return y.astype(in_dtype), new_state
             return tmix(x).astype(in_dtype)
+        if return_state:
+            raise ValueError(
+                "streaming state requires direction='uni' (bidirectional "
+                "attention needs the full future context)"
+            )
 
         tmix_rev = RWKVTimeMix(
             head_size=self.head_size, n_layers=self.n_layers,

@@ -127,9 +127,12 @@ def wkv6_chunked(
     rf, kf, vf, wf, uf = _as_f32(r, k, v, w, u)
     if pad:
         zpad = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        # zero keys contribute nothing; padded w of 0 keeps cumsums finite;
-        # padded outputs are sliced off.
-        rf, kf, vf, wf = zpad(rf), zpad(kf), zpad(vf), zpad(wf)
+        # zero keys contribute nothing to the state; padded w = -inf gives
+        # decay exp(-exp(-inf)) = 1 so the returned state is NOT decayed by
+        # pad steps; padded outputs are sliced off.
+        rf, kf, vf = zpad(rf), zpad(kf), zpad(vf)
+        wf = jnp.pad(wf, ((0, 0), (0, pad), (0, 0), (0, 0)),
+                     constant_values=-jnp.inf)
     Tp = T + pad
     C = Tp // L
 

@@ -1,0 +1,72 @@
+"""Streaming: chunked stateful forward == full-utterance forward (causal)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paper_accurate_fast_cheap_tpu.decode import streaming
+from paper_accurate_fast_cheap_tpu.models.conformer import ConformerEncoder
+from paper_accurate_fast_cheap_tpu.models.rwkv import RWKVTimeMix
+
+
+def test_rwkv_tmix_state_carry():
+    mod = RWKVTimeMix(head_size=8, n_layers=2, n_embd=32, dim_att=32,
+                      layer_id=0, wkv_chunk_size=16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 32))
+    params = mod.init(jax.random.PRNGKey(1), x)
+    y_full = mod.apply(params, x)
+    y1, st = mod.apply(params, x[:, :10], None, True)
+    y2, _ = mod.apply(params, x[:, 10:], st, True)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate([y1, y2], 1)), np.asarray(y_full),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def _causal_encoder():
+    return ConformerEncoder(
+        input_size=16, output_size=32, attention_heads=2, linear_units=64,
+        num_blocks=2, selfattention_layer_type="rwkv_tmix60",
+        dropout_rate=0.0, positional_dropout_rate=0.0, causal=True,
+        input_layer="conv2d",
+    )
+
+
+def test_streaming_equals_full_forward():
+    enc = _causal_encoder()
+    T = 135  # features
+    feats = jax.random.normal(jax.random.PRNGKey(2), (1, T, 16))
+    lens = jnp.asarray([T])
+    params = enc.init(jax.random.PRNGKey(3), feats, lens)
+    full, full_lens = enc.apply(params, feats, lens)
+    n_full = int(full_lens[0])
+
+    def encoder_apply(xs, xs_lens, state, offset):
+        return enc.apply(params, xs, xs_lens, streaming_state=state,
+                         return_state=True, offset=offset)
+
+    ys, out_lens = streaming.forward_chunk_by_chunk(
+        encoder_apply, feats, decoding_chunk_size=8)
+    n = min(int(out_lens[0]), n_full)
+    assert n > 0
+    np.testing.assert_allclose(
+        np.asarray(ys)[0, :n], np.asarray(full)[0, :n],
+        rtol=5e-4, atol=5e-4,
+    )
+
+
+def test_streaming_chunk_size_invariance():
+    enc = _causal_encoder()
+    T = 135
+    feats = jax.random.normal(jax.random.PRNGKey(4), (1, T, 16))
+    params = enc.init(jax.random.PRNGKey(5), feats, jnp.asarray([T]))
+
+    def encoder_apply(xs, xs_lens, state, offset):
+        return enc.apply(params, xs, xs_lens, streaming_state=state,
+                         return_state=True, offset=offset)
+
+    ys8, l8 = streaming.forward_chunk_by_chunk(encoder_apply, feats, 8)
+    ys4, l4 = streaming.forward_chunk_by_chunk(encoder_apply, feats, 4)
+    n = min(int(l8[0]), int(l4[0]))
+    np.testing.assert_allclose(np.asarray(ys8)[0, :n],
+                               np.asarray(ys4)[0, :n],
+                               rtol=5e-4, atol=5e-4)
