@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -91,3 +92,40 @@ class PositionwiseFeedForward(nn.Module):
         y = act(y)
         y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
         return nn.Dense(self.d_model)(y)
+
+
+class MoEFFNLayer(nn.Module):
+    """Token-choice top-k mixture-of-experts FFN
+    (`positionwise_feed_forward.py:58-115`; unused by the paper configs but
+    part of the framework surface).  TPU-style: dense dispatch via one-hot
+    combine weights (static shapes) instead of gather/scatter."""
+
+    d_model: int
+    hidden: int
+    n_experts: int = 4
+    n_expert_per_token: int = 2
+    activation: str = "swish"
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        act = {"swish": nn.silu, "relu": nn.relu,
+               "gelu": nn.gelu}[self.activation]
+        B, T, D = x.shape
+        gate_logits = nn.Dense(self.n_experts, use_bias=False,
+                               name="gate")(x)          # (B, T, E)
+        topv, topi = jax.lax.top_k(gate_logits, self.n_expert_per_token)
+        weights = jax.nn.softmax(topv, axis=-1)          # (B, T, K)
+        # combine weights as dense (B, T, E)
+        comb = jnp.zeros_like(gate_logits)
+        for k in range(self.n_expert_per_token):
+            comb = comb + weights[..., k : k + 1] * jax.nn.one_hot(
+                topi[..., k], self.n_experts
+            )
+        # all experts on all tokens (dense MoE; efficient for small E)
+        w1 = self.param("w1", nn.initializers.lecun_normal(),
+                        (self.n_experts, D, self.hidden))
+        w2 = self.param("w2", nn.initializers.lecun_normal(),
+                        (self.n_experts, self.hidden, D))
+        h = act(jnp.einsum("btd,edh->bteh", x, w1))
+        out = jnp.einsum("bteh,ehd->bted", h, w2)
+        return jnp.einsum("bted,bte->btd", out, comb)

@@ -76,3 +76,41 @@ class NoPositionalEncoding(nn.Module):
         y = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         pos = jnp.zeros((1, x.shape[1], self.d_model), x.dtype)
         return y, pos
+
+
+class WhisperPositionalEncoding(nn.Module):
+    """Whisper-style: sinusoid table without the sqrt(d) input scaling
+    (`embedding.py` WhisperPositionalEncoding)."""
+
+    d_model: int
+    dropout_rate: float = 0.1
+    max_len: int = 1500
+
+    @nn.compact
+    def __call__(self, x, offset: int = 0, deterministic: bool = True):
+        T = x.shape[1]
+        pe = jnp.asarray(sinusoid_table(self.max_len, self.d_model))
+        pos = pe[None, offset : offset + T]
+        y = nn.Dropout(self.dropout_rate)(x + pos,
+                                          deterministic=deterministic)
+        return y, pos
+
+
+class LearnablePositionalEncoding(nn.Module):
+    """Trained absolute positions (`embedding.py` LearnablePositionalEncoding)."""
+
+    d_model: int
+    dropout_rate: float = 0.1
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, x, offset: int = 0, deterministic: bool = True):
+        T = x.shape[1]
+        table = self.param(
+            "pos_embedding", nn.initializers.normal(0.02),
+            (self.max_len, self.d_model),
+        )
+        pos = table[None, offset : offset + T]
+        y = x * jnp.sqrt(jnp.asarray(self.d_model, x.dtype)) + pos
+        y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        return y, pos

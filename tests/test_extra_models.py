@@ -1,0 +1,123 @@
+"""Branchformer, MoE, LoRA, teacher-student, extra embeddings."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paper_accurate_fast_cheap_tpu.models.branchformer import (
+    BranchformerEncoder,
+    EBranchformerEncoder,
+)
+from paper_accurate_fast_cheap_tpu.models.convolution import MoEFFNLayer
+from paper_accurate_fast_cheap_tpu.models.embedding import (
+    LearnablePositionalEncoding,
+    WhisperPositionalEncoding,
+)
+from paper_accurate_fast_cheap_tpu.models.lora import (
+    LoRADense,
+    merge_lora_params,
+)
+
+
+def test_branchformer_forward():
+    enc = BranchformerEncoder(
+        input_size=80, output_size=64, attention_heads=2,
+        cgmlp_linear_units=128, num_blocks=2, dropout_rate=0.0,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 80))
+    lens = jnp.asarray([64, 40])
+    params = enc.init(jax.random.PRNGKey(1), x, lens)
+    out, olens = enc.apply(params, x, lens)
+    assert out.shape == (2, 15, 64)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ebranchformer_forward():
+    enc = EBranchformerEncoder(
+        input_size=80, output_size=64, attention_heads=2,
+        cgmlp_linear_units=128, num_blocks=1, linear_units=128,
+        dropout_rate=0.0,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 48, 80))
+    params = enc.init(jax.random.PRNGKey(3), x, jnp.asarray([48]))
+    out, _ = enc.apply(params, x, jnp.asarray([48]))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_moe_ffn():
+    moe = MoEFFNLayer(d_model=16, hidden=32, n_experts=4,
+                      n_expert_per_token=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 16))
+    params = moe.init(jax.random.PRNGKey(1), x)
+    out = moe.apply(params, x)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_lora_dense_and_merge():
+    mod = LoRADense(features=8, r=4, alpha=8.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 6))
+    params = mod.init(jax.random.PRNGKey(1), x)
+    y0 = mod.apply(params, x)
+    # lora_B starts at zero -> output equals base
+    base_only = x @ params["params"]["base"]["kernel"] + \
+        params["params"]["base"]["bias"]
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(base_only),
+                               rtol=1e-5)
+    # after perturbing lora params the adaptation contributes
+    p2 = jax.tree.map(lambda v: v, params)
+    p2["params"]["lora_B"] = jnp.ones_like(p2["params"]["lora_B"])
+    y1 = mod.apply(p2, x)
+    assert not np.allclose(np.asarray(y0), np.asarray(y1))
+    # merging folds the delta into base and zeroes lora
+    merged = merge_lora_params(p2["params"])
+    y2 = mod.apply({"params": merged}, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_teacher_student_loss():
+    from paper_accurate_fast_cheap_tpu.models.asr_model import ASRModel
+    from paper_accurate_fast_cheap_tpu.models.teacher_student import (
+        make_ts_loss_fn,
+    )
+
+    def mk():
+        return ASRModel(
+            vocab_size=8,
+            encoder_conf=dict(input_size=16, output_size=32,
+                              attention_heads=2, linear_units=64,
+                              num_blocks=1, input_layer="linear",
+                              selfattention_layer_type="rel_selfattn",
+                              dropout_rate=0.0),
+            ctc_weight=1.0, sos=7, eos=7,
+        )
+
+    student, teacher = mk(), mk()
+    feats = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 16))
+    flens = jnp.asarray([32, 24])
+    labels = jnp.asarray([[1, 2, 3], [4, 5, 0]], jnp.int32)
+    llens = jnp.asarray([3, 2])
+    sp = student.init(jax.random.PRNGKey(1), feats, flens, labels, llens)
+    tp = teacher.init(jax.random.PRNGKey(2), feats, flens, labels, llens)
+    loss_fn = make_ts_loss_fn(student, teacher, tp, distill_weight=1.0)
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        sp, (feats, flens, labels, llens), jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss))
+    assert float(metrics["loss_distill"]) > 0
+    assert np.isfinite(
+        np.asarray(jax.tree.leaves(grads)[0])).all()
+    # distilling a model against itself gives ~zero KL
+    loss_fn_self = make_ts_loss_fn(student, student, sp, distill_weight=1.0,
+                                   student_weight=0.0)
+    loss_self, m_self = loss_fn_self(sp, (feats, flens, labels, llens),
+                                     jax.random.PRNGKey(4))
+    assert float(m_self["loss_distill"]) < 1e-5
+
+
+def test_extra_pos_encodings():
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 10, 16))
+    for cls in (WhisperPositionalEncoding, LearnablePositionalEncoding):
+        mod = cls(d_model=16, dropout_rate=0.0)
+        params = mod.init(jax.random.PRNGKey(1), x)
+        y, pos = mod.apply(params, x)
+        assert y.shape == x.shape and pos.shape[1] == 10
