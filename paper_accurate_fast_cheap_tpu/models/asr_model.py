@@ -16,8 +16,12 @@ import jax
 import jax.numpy as jnp
 
 from paper_accurate_fast_cheap_tpu.models import ctc_head as ctc_mod
-from paper_accurate_fast_cheap_tpu.models.conformer import ConformerEncoder
+from paper_accurate_fast_cheap_tpu.models.conformer import (
+    ConformerEncoder,
+    TransformerEncoder,
+)
 from paper_accurate_fast_cheap_tpu.models.decoder import BiTransformerDecoder
+from paper_accurate_fast_cheap_tpu.models.encoder_registry import build_encoder
 from paper_accurate_fast_cheap_tpu.ops.losses import label_smoothing_loss
 from paper_accurate_fast_cheap_tpu.utils import common
 
@@ -32,6 +36,7 @@ class ASRModel(nn.Module):
 
     vocab_size: int
     encoder_conf: Any
+    encoder_type: str = "conformer"
     decoder_conf: Any = None
     ctc_weight: float = 0.3
     reverse_weight: float = 0.0
@@ -43,8 +48,8 @@ class ASRModel(nn.Module):
     use_focal_ctc: bool = False
 
     def setup(self):
-        self.encoder = ConformerEncoder(**dict(self.encoder_conf),
-                                        name="encoder")
+        enc_conf = dict(self.encoder_conf)
+        self.encoder = build_encoder(self.encoder_type, enc_conf)
         self.ctc = ctc_mod.CTCHead(vocab_size=self.vocab_size, name="ctc")
         if self.decoder_conf is not None:
             self.decoder = BiTransformerDecoder(
@@ -120,8 +125,11 @@ class ASRModel(nn.Module):
 
     def forward_encoder(self, feats, feat_lens, decoding_chunk_size: int = 0,
                         num_decoding_left_chunks: int = -1):
-        return self.encoder(feats, feat_lens, decoding_chunk_size,
-                            num_decoding_left_chunks, deterministic=True)
+        if isinstance(self.encoder, ConformerEncoder):
+            return self.encoder(feats, feat_lens, decoding_chunk_size,
+                                num_decoding_left_chunks,
+                                deterministic=True)
+        return self.encoder(feats, feat_lens, deterministic=True)
 
     def ctc_logprobs(self, enc_out, blank_penalty: float = 0.0,
                      blank_id: int = 0):

@@ -22,6 +22,9 @@ _ENCODER_KEYS = {
     "cnn_module_norm", "activation_type", "causal", "key_bias",
     "selfattention_layer_type", "static_chunk_size", "use_dynamic_chunk",
     "use_dynamic_left_chunk", "gradient_checkpointing",
+    # branchformer family (filtered per-encoder in encoder_registry)
+    "cgmlp_linear_units", "cgmlp_conv_kernel", "use_ffn",
+    "merge_conv_kernel",
 }
 # keys routed into rwkv_conf (rwkv/mamba/lca extras)
 _RWKV_KEYS = {
@@ -59,6 +62,7 @@ def init_model(config: Dict[str, Any], vocab_size: int,
     'asr_model' (default, hybrid CTC/AED) and 'transducer'.
     """
     model_type = config.get("model", "asr_model")
+    encoder_type = config.get("encoder", "conformer")
     enc_conf = encoder_conf_from_yaml(
         config.get("encoder_conf", {}), input_dim
     )
@@ -86,6 +90,7 @@ def init_model(config: Dict[str, Any], vocab_size: int,
         model = Transducer(
             vocab_size=vocab_size,
             encoder_conf=enc_conf,
+            encoder_type=encoder_type,
             predictor=config.get("predictor", "rnn"),
             predictor_conf=pred_conf,
             joint_conf=joint_conf,
@@ -105,6 +110,7 @@ def init_model(config: Dict[str, Any], vocab_size: int,
     model = ASRModel(
         vocab_size=vocab_size,
         encoder_conf=enc_conf,
+        encoder_type=encoder_type,
         decoder_conf=dec_conf,
         ctc_weight=model_conf.get("ctc_weight", 0.3),
         reverse_weight=model_conf.get("reverse_weight", 0.0),

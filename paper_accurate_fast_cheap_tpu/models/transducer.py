@@ -18,8 +18,12 @@ import jax
 import jax.numpy as jnp
 
 from paper_accurate_fast_cheap_tpu.models import ctc_head as ctc_mod
-from paper_accurate_fast_cheap_tpu.models.conformer import ConformerEncoder
+from paper_accurate_fast_cheap_tpu.models.conformer import (
+    ConformerEncoder,
+    TransformerEncoder,
+)
 from paper_accurate_fast_cheap_tpu.models.decoder import BiTransformerDecoder
+from paper_accurate_fast_cheap_tpu.models.encoder_registry import build_encoder
 from paper_accurate_fast_cheap_tpu.models import joint as joint_mod
 from paper_accurate_fast_cheap_tpu.models.joint import TransducerJoint
 from paper_accurate_fast_cheap_tpu.models.predictor import (
@@ -41,6 +45,7 @@ PREDICTORS = {
 class Transducer(nn.Module):
     vocab_size: int
     encoder_conf: Any
+    encoder_type: str = "conformer"
     predictor: str = "rnn"
     predictor_conf: Any = None
     joint_conf: Any = None
@@ -59,7 +64,7 @@ class Transducer(nn.Module):
 
     def setup(self):
         enc_conf = dict(self.encoder_conf)
-        self.encoder = ConformerEncoder(**enc_conf, name="encoder")
+        self.encoder = build_encoder(self.encoder_type, enc_conf)
         pred_conf = dict(self.predictor_conf or {})
         self.predictor_mod = PREDICTORS[self.predictor](
             vocab_size=self.vocab_size, **pred_conf, name="predictor"
@@ -170,8 +175,11 @@ class Transducer(nn.Module):
 
     def forward_encoder(self, feats, feat_lens, decoding_chunk_size: int = 0,
                         num_decoding_left_chunks: int = -1):
-        return self.encoder(feats, feat_lens, decoding_chunk_size,
-                            num_decoding_left_chunks, deterministic=True)
+        if isinstance(self.encoder, ConformerEncoder):
+            return self.encoder(feats, feat_lens, decoding_chunk_size,
+                                num_decoding_left_chunks,
+                                deterministic=True)
+        return self.encoder(feats, feat_lens, deterministic=True)
 
     def ctc_logprobs(self, enc_out, blank_penalty: float = 0.0):
         logits = self.ctc(enc_out, deterministic=True)

@@ -186,3 +186,45 @@ def test_attention_beam_search():
     )
     assert res[0].tokens == [3, 5, 7]
     assert res[1].tokens == [2, 2, 9, 4]
+
+
+def test_joint_decoding():
+    """Time-sync joint CTC+attention decode on the overfit model."""
+    from paper_accurate_fast_cheap_tpu.decode.joint_decoding import (
+        joint_decoding,
+    )
+
+    model = _tiny_model(ctc_weight=0.5, reverse_weight=0.0)
+    feats, flens, labels, label_lens = _toy_batch(jax.random.PRNGKey(0))
+    params = model.init(jax.random.PRNGKey(1), feats, flens, labels,
+                        label_lens)
+
+    def loss_fn(p, batch, rng):
+        out = model.apply(p, *batch, deterministic=False,
+                          rngs={"dropout": rng})
+        return out["loss"], {}
+
+    opt = train_step.make_optimizer(
+        "adam", schedulers.steady_lr(3e-3, warmup_steps=10))
+    step = jax.jit(train_step.make_train_step(loss_fn, opt))
+    state = train_step.init_train_state(params, opt)
+    batch = (feats, flens, labels, label_lens)
+    for i in range(150):
+        state, loss, _ = step(state, batch, jax.random.PRNGKey(900 + i))
+
+    enc, enc_lens = model.apply(state.params, feats, flens,
+                                method=model.forward_encoder)
+    logp = np.asarray(model.apply(state.params, enc,
+                                  method=model.ctc_logprobs))
+
+    def one_step(enc_, lens_, ys, ys_lens):
+        def call(mdl, *a):
+            return mdl.decoder.forward_one_step(*a)
+        return model.apply(state.params, enc_, lens_, ys, ys_lens,
+                           method=call)
+
+    res = joint_decoding(
+        one_step, enc[0:1], enc_lens[0:1], logp[0], sos=VOCAB - 1,
+        eos=VOCAB - 1, beam_size=4,
+    )
+    assert res.tokens == [3, 5, 7]
