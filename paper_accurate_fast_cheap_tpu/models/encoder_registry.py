@@ -43,6 +43,24 @@ def build_encoder(encoder_type: str, enc_conf: Dict[str, Any]):
     if encoder_type == "transformer":
         conf = {k: v for k, v in enc_conf.items() if k in _TRANSFORMER_KEYS}
         return TransformerEncoder(**conf, name="encoder")
+    if encoder_type == "squeezeformer":
+        from paper_accurate_fast_cheap_tpu.models.squeezeformer import (
+            SqueezeformerEncoder,
+        )
+
+        keys = set(SqueezeformerEncoder.__dataclass_fields__) - {
+            "parent", "name"}
+        conf = {k: v for k, v in enc_conf.items() if k in keys}
+        return SqueezeformerEncoder(**conf, name="encoder")
+    if encoder_type == "efficient_conformer":
+        from paper_accurate_fast_cheap_tpu.models.efficient_conformer import (
+            EfficientConformerEncoder,
+        )
+
+        keys = set(EfficientConformerEncoder.__dataclass_fields__) - {
+            "parent", "name"}
+        conf = {k: v for k, v in enc_conf.items() if k in keys}
+        return EfficientConformerEncoder(**conf, name="encoder")
     if encoder_type in ("branchformer", "e_branchformer"):
         conf = {k: v for k, v in enc_conf.items() if k in _BRANCHFORMER_KEYS}
         if encoder_type == "e_branchformer":
