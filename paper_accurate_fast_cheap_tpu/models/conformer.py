@@ -205,8 +205,41 @@ class ConformerEncoderLayer(nn.Module):
         return x
 
 
+class LanguageSpecificConformerEncoderLayer(nn.Module):
+    """LSL layer: per-language parallel conformer blocks combined by the
+    one-hot/soft ``cat_embs`` language vector
+    (`encoder_layer.py` LanguageSpecificConformerEncoderLayer;
+    `encoder.py:634-769` places these at both ends of the stack)."""
+
+    num_langs: int
+    layer_kwargs: Any  # dict of ConformerEncoderLayer kwargs (minus attn)
+    attn_factory: Any  # callable () -> attention module
+
+    @nn.compact
+    def __call__(self, x, att_mask=None, pos_emb=None, pad_mask=None,
+                 lengths=None, deterministic: bool = True, cat_embs=None):
+        outs = []
+        for k in range(self.num_langs):
+            layer = ConformerEncoderLayer(
+                self_attn=self.attn_factory(), **dict(self.layer_kwargs),
+                name=f"lang_{k}",
+            )
+            outs.append(layer(x, att_mask, pos_emb, pad_mask, lengths,
+                              deterministic))
+        stacked = jnp.stack(outs, axis=1)           # (B, K, T, D)
+        if cat_embs is None:
+            w = jnp.full((x.shape[0], self.num_langs),
+                         1.0 / self.num_langs)
+        else:
+            w = cat_embs[:, : self.num_langs]
+        return jnp.einsum("bk,bktd->btd", w.astype(stacked.dtype), stacked)
+
+
 class ConformerEncoder(nn.Module):
     """Conformer encoder: cmvn (caller) -> subsample -> pos-enc -> N blocks.
+
+    num_langs > 0 turns the first and last blocks into language-specific
+    layers conditioned on ``cat_embs`` (LSL, `encoder.py:634-769`).
 
     Returns (encoded (B, T', D), out_lengths (B,)).
     """
@@ -234,6 +267,7 @@ class ConformerEncoder(nn.Module):
     use_dynamic_chunk: bool = False
     use_dynamic_left_chunk: bool = False
     gradient_checkpointing: bool = False
+    num_langs: int = 0
     rwkv_conf: Any = None  # dict: rwkv/mamba/lca extras
 
     @nn.compact
@@ -249,6 +283,7 @@ class ConformerEncoder(nn.Module):
         streaming_state=None,
         return_state: bool = False,
         offset: int = 0,
+        cat_embs=None,
     ):
         rwkv_conf = dict(self.rwkv_conf or {})
         sub = SUBSAMPLE_CLASSES[self.input_layer](
@@ -311,24 +346,37 @@ class ConformerEncoder(nn.Module):
             att_mask = pad_mask[:, None, :]
 
         layer_outs = []
+        layer_common = dict(
+            d_model=self.output_size,
+            linear_units=self.linear_units,
+            dropout_rate=self.dropout_rate,
+            activation=self.activation_type,
+            macaron_style=self.macaron_style,
+            use_cnn_module=self.use_cnn_module,
+            cnn_module_kernel=self.cnn_module_kernel,
+            cnn_module_norm=self.cnn_module_norm,
+            causal=self.causal,
+            normalize_before=self.normalize_before,
+        )
         for i in range(self.num_blocks):
-            attn = _make_attention(
-                self.selfattention_layer_type, self.attention_heads,
-                self.output_size, self.attention_dropout_rate, self.key_bias,
-                self.num_blocks, i, rwkv_conf,
-            )
+            def attn_factory(i=i):
+                return _make_attention(
+                    self.selfattention_layer_type, self.attention_heads,
+                    self.output_size, self.attention_dropout_rate,
+                    self.key_bias, self.num_blocks, i, rwkv_conf,
+                )
+
+            if self.num_langs > 0 and i in (0, self.num_blocks - 1):
+                xs = LanguageSpecificConformerEncoderLayer(
+                    num_langs=self.num_langs, layer_kwargs=layer_common,
+                    attn_factory=attn_factory, name=f"layer_{i}",
+                )(xs, att_mask, pos_emb, pad_mask, out_lens,
+                  deterministic, cat_embs)
+                if return_layers:
+                    layer_outs.append(xs)
+                continue
             layer = ConformerEncoderLayer(
-                d_model=self.output_size,
-                self_attn=attn,
-                linear_units=self.linear_units,
-                dropout_rate=self.dropout_rate,
-                activation=self.activation_type,
-                macaron_style=self.macaron_style,
-                use_cnn_module=self.use_cnn_module,
-                cnn_module_kernel=self.cnn_module_kernel,
-                cnn_module_norm=self.cnn_module_norm,
-                causal=self.causal,
-                normalize_before=self.normalize_before,
+                self_attn=attn_factory(), **layer_common,
                 name=f"layer_{i}",
             )
             if self.gradient_checkpointing and not deterministic:

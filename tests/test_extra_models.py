@@ -121,3 +121,39 @@ def test_extra_pos_encodings():
         params = mod.init(jax.random.PRNGKey(1), x)
         y, pos = mod.apply(params, x)
         assert y.shape == x.shape and pos.shape[1] == 10
+
+
+def test_lsl_encoder_and_context_adaptor():
+    from paper_accurate_fast_cheap_tpu.models.conformer import (
+        ConformerEncoder,
+    )
+    from paper_accurate_fast_cheap_tpu.models.context_adaptor import (
+        ContextAdaptor,
+    )
+
+    enc = ConformerEncoder(
+        input_size=80, output_size=32, attention_heads=2, linear_units=64,
+        num_blocks=3, num_langs=2, dropout_rate=0.0,
+        selfattention_layer_type="rel_selfattn",
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 40, 80))
+    lens = jnp.asarray([40, 30])
+    cat = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+    params = enc.init(jax.random.PRNGKey(1), x, lens, cat_embs=cat)
+    out, _ = enc.apply(params, x, lens, cat_embs=cat)
+    assert np.isfinite(np.asarray(out)).all()
+    # different language vectors give different outputs
+    out_b, _ = enc.apply(params, x, lens,
+                         cat_embs=jnp.asarray([[0.0, 1.0], [0.0, 1.0]]))
+    assert not np.allclose(np.asarray(out)[0], np.asarray(out_b)[0])
+
+    # deep biasing: adaptor over layer taps
+    out3 = enc.apply(params, x, lens, return_layers=True, cat_embs=cat)
+    _, _, taps = out3
+    ca = ContextAdaptor(vocab_size=10, d_model=32, embed_size=16, heads=2,
+                        num_combine_layers=2)
+    cv = jnp.asarray([[1, 2, 0], [3, 4, 5]], jnp.int32)
+    cv_lens = jnp.asarray([2, 3])
+    cap = ca.init(jax.random.PRNGKey(2), taps, cv, cv_lens)
+    bias = ca.apply(cap, taps, cv, cv_lens)
+    assert bias.shape == taps[-1].shape
