@@ -1,0 +1,79 @@
+"""Serving: websocket server + client round-trip, whisper, profiling, k2."""
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.test_train_cli import _wav_bytes, workspace  # noqa: F401
+
+
+def test_websocket_server_roundtrip(workspace, tmp_path):  # noqa: F811
+    from paper_accurate_fast_cheap_tpu.api import load_model
+    from paper_accurate_fast_cheap_tpu.bin import serve, ws_client
+    from paper_accurate_fast_cheap_tpu.bin.train import main as train_main
+
+    model_dir = workspace / "exp_serve"
+    rc = train_main([
+        "--config", str(workspace / "train.yaml"),
+        "--train_data", str(workspace / "shards.txt"),
+        "--data_type", "shard", "--model_dir", str(model_dir),
+        "--num_epochs", "1",
+    ])
+    assert rc == 0
+    model = load_model(str(model_dir))
+    srv = serve.serve(model, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.RandomState(0)
+        wav_path = tmp_path / "q.wav"
+        wav_path.write_bytes(_wav_bytes(rng.randn(8000) * 0.05))
+        text = ws_client.transcribe_file("127.0.0.1", port, str(wav_path))
+        assert isinstance(text, str)  # may be empty on a toy model
+    finally:
+        srv.shutdown()
+
+
+def test_whisper_model_forward():
+    from paper_accurate_fast_cheap_tpu.models.whisper import WhisperModel
+
+    model = WhisperModel(vocab_size=100, n_mels=20, d_model=32, heads=2,
+                         encoder_blocks=1, decoder_blocks=1,
+                         max_target_positions=16)
+    mel = jax.random.normal(jax.random.PRNGKey(0), (2, 50, 20))
+    mel_lens = jnp.asarray([50, 40])
+    ys_in = jnp.asarray([[1, 5, 6], [1, 7, 8]], jnp.int32)
+    ys_out = jnp.asarray([[5, 6, 2], [7, 8, 2]], jnp.int32)
+    ys_lens = jnp.asarray([3, 3])
+    params = model.init(jax.random.PRNGKey(1), mel, mel_lens, ys_in,
+                        ys_out, ys_lens)
+    out = model.apply(params, mel, mel_lens, ys_in, ys_out, ys_lens)
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_profiling_utils():
+    from paper_accurate_fast_cheap_tpu.utils import profiling
+
+    timer = profiling.StepTimer()
+    for _ in range(3):
+        with timer.measure():
+            jnp.ones((10,)).block_until_ready()
+    assert timer.mean() > 0
+    assert timer.rtf(audio_seconds=10.0) > 0
+    with profiling.MemoryMonitor(interval_s=0.01) as mon:
+        _ = np.zeros(1000)
+    assert mon.max_rss_mb > 0
+    stats = profiling.device_memory_stats()
+    assert isinstance(stats, dict)
+
+
+def test_k2_fallback():
+    from paper_accurate_fast_cheap_tpu.models import k2_model
+
+    assert not k2_model.k2_available()
+    logp = np.log(np.full((1, 5, 4), 0.1))
+    logp[0, :, 0] = np.log(0.7)
+    res = k2_model.hlg_onebest(logp, np.asarray([5]))
+    assert isinstance(res[0].tokens, list)
