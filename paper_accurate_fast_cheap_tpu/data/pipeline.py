@@ -152,6 +152,15 @@ def decode_wav(samples: Iterable[Dict]) -> Iterator[Dict]:
 
 
 def _read_wav_bytes(data: bytes):
+    # native fast path (C++ RIFF parser; handles the data-loader hot loop)
+    try:
+        from paper_accurate_fast_cheap_tpu import native
+
+        out = native.parse_wav(data)
+        if out is not None:
+            return out
+    except Exception:  # pragma: no cover - fall through to stdlib
+        pass
     with wave.open(io.BytesIO(data)) as w:
         sr = w.getframerate()
         n = w.getnframes()

@@ -1,0 +1,107 @@
+"""Native C++ helpers (ctypes) with build-on-demand and python fallback.
+
+`lib()` returns the loaded shared library or None.  The first call compiles
+`pafc_native.cpp` with g++ -O3 into this directory (cached); failures fall
+back to the pure-python implementations in the callers.
+"""
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "pafc_native.cpp")
+_SO = os.path.join(_DIR, "libpafc_native.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+           _SRC, "-o", _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, OSError) as e:
+        log.info("native build unavailable (%s); using python fallbacks", e)
+        return False
+
+
+def lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+        ):
+            if not build():
+                return None
+        try:
+            L = ctypes.CDLL(_SO)
+        except OSError as e:
+            log.info("native load failed: %s", e)
+            return None
+        L.levenshtein_counts.restype = ctypes.c_int
+        L.levenshtein_counts.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        L.parse_wav.restype = ctypes.c_int64
+        L.parse_wav.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        L.resample_linear.restype = None
+        L.resample_linear.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ]
+        _lib = L
+        return _lib
+
+
+def levenshtein_counts(ref: np.ndarray,
+                       hyp: np.ndarray) -> Optional[Tuple[int, int, int]]:
+    """(sub, del, ins) via native DP, or None if unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    ref = np.ascontiguousarray(ref, np.int32)
+    hyp = np.ascontiguousarray(hyp, np.int32)
+    out = np.zeros(3, np.int32)
+    L.levenshtein_counts(
+        ref.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(ref),
+        hyp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(hyp),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return int(out[0]), int(out[1]), int(out[2])
+
+
+def parse_wav(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
+    """(float32 mono samples, sample_rate) via native decode, or None."""
+    L = lib()
+    if L is None:
+        return None
+    max_out = len(data) // 1  # generous upper bound in samples
+    out = np.empty(max_out, np.float32)
+    sr = ctypes.c_int32(0)
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    n = L.parse_wav(buf, len(data),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    max_out, ctypes.byref(sr))
+    if n < 0:
+        return None
+    return out[:n].copy(), int(sr.value)

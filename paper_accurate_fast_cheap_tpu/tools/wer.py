@@ -60,8 +60,26 @@ class AlignStats:
 
 
 def align_words(ref: Sequence[str], hyp: Sequence[str]) -> AlignStats:
-    """Levenshtein alignment with uniform costs (sub=del=ins=1)."""
+    """Levenshtein alignment with uniform costs (sub=del=ins=1).
+
+    Uses the native C++ DP (`native/pafc_native.cpp`) when available — the
+    long-form scorer aligns multi-thousand-word episodes — with a python
+    fallback."""
+    from paper_accurate_fast_cheap_tpu import native
+
     R, H = len(ref), len(hyp)
+    ids = {}
+    for w in ref:
+        ids.setdefault(w, len(ids))
+    for w in hyp:
+        ids.setdefault(w, len(ids))
+    counts = native.levenshtein_counts(
+        np.asarray([ids[w] for w in ref], np.int32),
+        np.asarray([ids[w] for w in hyp], np.int32),
+    )
+    if counts is not None:
+        sub, dele, ins = counts
+        return AlignStats(ref_len=R, sub=sub, ins=ins, dele=dele)
     # dp[i][j]: (cost, op) over ref[:i], hyp[:j]
     cost = np.zeros((R + 1, H + 1), np.int32)
     cost[:, 0] = np.arange(R + 1)
