@@ -1,0 +1,198 @@
+"""Pallas TPU kernel for the WKV6 forward pass.
+
+Replaces the HBM-roundtrip-heavy XLA chunked path for inference: the XLA
+formulation (`ops/wkv6.py`) materializes ~10 intermediate (B, T, H, N)
+tensors between fusions, while this kernel streams r/k/v/w through VMEM
+once per chunk, keeps the (N, N) recurrence state in a VMEM scratch across
+grid steps, and writes only y — the op becomes pure-bandwidth on its inputs.
+
+Layout: grid (B*H, T/L); each grid step processes an (L, N) chunk as nb
+sub-blocks of S=16:
+  - intra sub-block: midpoint-recentred factor matmuls, exact in fp32;
+  - across sub-blocks + across chunks: a sequential scan over the nb
+    sub-blocks updating the (N, N) state with (S, N) x (N, N) MXU matmuls
+    (all in VMEM, unrolled 16x per grid step).
+
+Backward: custom_vjp that recomputes through the differentiable XLA chunked
+path (the kernel is the inference/bench fast path; training uses autodiff).
+
+Status: measured at parity with the XLA chunked path on v5e (both ~5.5 ms
+at B=4, T=2250, H=8, N=64 bf16) — the (*, 64)-lane blocks use half the MXU
+width.  Planned optimizations: pair heads for 128-lane blocks, batch the
+intra-sub-block matmuls into one (L, L) masked matmul, double-buffered
+input DMA.  bf16 outputs match the scan oracle to within output
+quantization (~0.8% at |y|~60), the same as the XLA path on TPU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SUB = 16  # inner sub-block length
+
+
+def _kernel(r_ref, k_ref, v_ref, w_ref, u_ref, y_ref, state_ref, *,
+            L: int, N: int, carry_in: bool):
+    c = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(c == 0, not carry_in))
+    def _():
+        state_ref[...] = jnp.zeros_like(state_ref)
+
+    f32 = jnp.float32
+    r = r_ref[0].astype(f32)          # (L, N)
+    k = k_ref[0].astype(f32)
+    v = v_ref[0].astype(f32)
+    w = w_ref[0].astype(f32)
+    u = u_ref[0].astype(f32)          # (1, N) -> broadcast
+
+    w = jnp.minimum(w, np.log(160.0 / (SUB + 2)))
+    nb = L // SUB
+    # boolean constants lower badly in Mosaic (i8->i1 trunc); build the
+    # strict lower-triangular mask from iota comparisons instead
+    row = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
+    tri = row > col
+    # cumsum via matmul with a static lower-triangular ones matrix
+    # (lax.cumsum has no Pallas TPU lowering)
+    csum = (row >= col).astype(f32)
+
+    for j in range(nb):
+        sl = slice(j * SUB, (j + 1) * SUB)
+        rj, kj, vj, wj = r[sl], k[sl], v[sl], w[sl]
+        lw = -jnp.exp(wj)                       # (S, N)
+        Bi = jnp.dot(csum, lw, preferred_element_type=f32)
+        Be = Bi - lw
+        m = Bi[SUB // 2][None, :]
+        q_mid = rj * jnp.exp(Be - m)
+        k_mid = kj * jnp.exp(m - Bi)
+        A = jax.lax.dot_general(
+            q_mid, k_mid, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        A = jnp.where(tri, A, 0.0)
+        diag = jnp.sum(rj * u * kj, axis=-1, keepdims=True)
+        y = jnp.dot(A, vj, preferred_element_type=f32) + diag * vj
+        # cross (state) contribution + state update
+        S = state_ref[...]
+        q_gl = rj * jnp.exp(Be)
+        y = y + jnp.dot(q_gl, S, preferred_element_type=f32)
+        total = Bi[SUB - 1][None, :]
+        k_tail = kj * jnp.exp(total - Bi)
+        state_ref[...] = (
+            jnp.exp(total).T * S
+            + jax.lax.dot_general(
+                k_tail, vj, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        )
+        y_ref[0, sl, :] = y.astype(y_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk_size", "return_state"))
+def _wkv6_pallas_fwd(r, k, v, w, u, state=None, chunk_size: int = 256,
+                     return_state: bool = False):
+    B, T, H, N = r.shape
+    out_dtype = r.dtype
+    L = int(chunk_size)
+    L = max(SUB, (L // SUB) * SUB)
+    pad = (-T) % L
+    if pad:
+        zpad = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        r, k, v = zpad(r), zpad(k), zpad(v)
+        w = jnp.pad(w, ((0, 0), (0, pad), (0, 0), (0, 0)),
+                    constant_values=-1e30)
+    Tp = T + pad
+    C = Tp // L
+    BH = B * H
+
+    def to_bh(x):  # (B, T, H, N) -> (BH, T, N)
+        return x.transpose(0, 2, 1, 3).reshape(BH, Tp, N)
+
+    rb, kb, vb, wb = map(to_bh, (r, k, v, w))
+    ub = jnp.broadcast_to(u[None], (B, H, N)).reshape(BH, 1, N)
+
+    kwargs = dict(
+        grid=(BH, C),
+        in_specs=[
+            pl.BlockSpec((1, L, N), lambda bh, c: (bh, c, 0)),
+            pl.BlockSpec((1, L, N), lambda bh, c: (bh, c, 0)),
+            pl.BlockSpec((1, L, N), lambda bh, c: (bh, c, 0)),
+            pl.BlockSpec((1, L, N), lambda bh, c: (bh, c, 0)),
+            pl.BlockSpec((1, 1, N), lambda bh, c: (bh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, L, N), lambda bh, c: (bh, c, 0)),
+        scratch_shapes=[pltpu.VMEM((N, N), jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
+    )
+
+    if state is None:
+        kernel = functools.partial(_kernel, L=L, N=N, carry_in=False)
+        y = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((BH, Tp, N), out_dtype),
+            **kwargs,
+        )(rb, kb, vb, wb, ub)
+        S_fin = None
+    else:
+        raise NotImplementedError(
+            "pallas wkv6 with carried-in state: use impl='chunked'"
+        )
+
+    y = y.reshape(B, H, Tp, N).transpose(0, 2, 1, 3)[:, :T]
+    if return_state:
+        # final state is not emitted by the kernel; recompute via the
+        # chunked path when callers need it
+        from paper_accurate_fast_cheap_tpu.ops.wkv6 import wkv6_chunked
+
+        _, S_fin = wkv6_chunked(r[:, :T], k[:, :T], v[:, :T], w[:, :T], u,
+                                return_state=True)
+        return y, S_fin
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _wkv6_pallas_diff(r, k, v, w, u, chunk_size):
+    return _wkv6_pallas_fwd(r, k, v, w, u, chunk_size=chunk_size)
+
+
+def _diff_fwd(r, k, v, w, u, chunk_size):
+    return _wkv6_pallas_fwd(r, k, v, w, u, chunk_size=chunk_size), \
+        (r, k, v, w, u)
+
+
+def _diff_bwd(chunk_size, res, g):
+    from paper_accurate_fast_cheap_tpu.ops.wkv6 import wkv6_chunked
+
+    r, k, v, w, u = res
+    _, vjp = jax.vjp(
+        lambda *a: wkv6_chunked(*a, chunk_size=chunk_size), r, k, v, w, u
+    )
+    return vjp(g)
+
+
+_wkv6_pallas_diff.defvjp(_diff_fwd, _diff_bwd)
+
+
+def wkv6_pallas(r, k, v, w, u, state=None, chunk_size: int = 256,
+                return_state: bool = False):
+    """Pallas forward (+ XLA-recompute backward).  Same semantics as
+    `ops.wkv6.wkv6_ref` for state=None; carried-in state falls back to the
+    chunked path."""
+    if state is not None:
+        from paper_accurate_fast_cheap_tpu.ops.wkv6 import wkv6_chunked
+
+        return wkv6_chunked(r, k, v, w, u, state=state,
+                            chunk_size=chunk_size,
+                            return_state=return_state)
+    if return_state:
+        return _wkv6_pallas_fwd(r, k, v, w, u, chunk_size=chunk_size,
+                                return_state=True)
+    return _wkv6_pallas_diff(r, k, v, w, u, chunk_size)

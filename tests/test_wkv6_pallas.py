@@ -1,0 +1,46 @@
+"""Pallas WKV6 kernel vs scan oracle (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paper_accurate_fast_cheap_tpu.ops.wkv6 import wkv6_ref
+from paper_accurate_fast_cheap_tpu.ops.wkv6_pallas import wkv6_pallas
+
+
+def _inputs(key, B=2, T=40, H=2, N=64, dtype=jnp.float32):
+    ks = jax.random.split(key, 5)
+    mk = lambda k: jax.random.normal(k, (B, T, H, N), dtype)
+    r, k, v, w = mk(ks[0]), mk(ks[1]), mk(ks[2]), mk(ks[3]) - 2.0
+    u = jax.random.normal(ks[4], (H, N), dtype) * 0.5
+    return r, k, v, w, u
+
+
+def test_pallas_matches_ref():
+    r, k, v, w, u = _inputs(jax.random.PRNGKey(0))
+    y_ref = wkv6_ref(r, k, v, w, u)
+    y = wkv6_pallas(r, k, v, w, u, chunk_size=32)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_pallas_multi_chunk():
+    r, k, v, w, u = _inputs(jax.random.PRNGKey(1), T=100)
+    y_ref = wkv6_ref(r, k, v, w, u)
+    y = wkv6_pallas(r, k, v, w, u, chunk_size=32)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_pallas_grad_via_chunked_recompute():
+    r, k, v, w, u = _inputs(jax.random.PRNGKey(2), B=1, T=32, H=1, N=64)
+
+    def f(fn):
+        return jax.grad(
+            lambda r, k, v, w, u: jnp.sum(jnp.sin(fn(r, k, v, w, u))),
+            argnums=(0, 1, 2, 3, 4))(r, k, v, w, u)
+
+    g_p = f(lambda *a: wkv6_pallas(*a, chunk_size=16))
+    g_r = f(wkv6_ref)
+    for a, b in zip(g_p, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
