@@ -1,0 +1,109 @@
+"""Small data-prep utilities in one CLI.
+
+Parity targets: `tools/make_raw_list.py`, `tools/wav2dur.py`,
+`tools/segment.py`, `tools/wavscp2cmds.py`, `tools/analyze_dataset.py`.
+
+Usage: python -m paper_accurate_fast_cheap_tpu.bin.data_tools <cmd> ...
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def make_raw_list(args):
+    """wav.scp + text (+ optional segments) -> jsonl raw list."""
+    wavs = dict(
+        line.strip().split(maxsplit=1)
+        for line in open(args.wav_scp, encoding="utf-8") if line.strip()
+    )
+    texts = dict(
+        line.strip().split(maxsplit=1) if len(line.strip().split()) > 1
+        else (line.strip(), "")
+        for line in open(args.text, encoding="utf-8") if line.strip()
+    )
+    out = open(args.output, "w", encoding="utf-8")
+    if args.segments:
+        for line in open(args.segments, encoding="utf-8"):
+            utt, wav_key, start, end = line.strip().split()
+            if wav_key in wavs and utt in texts:
+                out.write(json.dumps({
+                    "key": utt, "wav": wavs[wav_key], "txt": texts[utt],
+                    "start": float(start), "end": float(end),
+                }) + "\n")
+    else:
+        for key, path in wavs.items():
+            if key in texts:
+                out.write(json.dumps({"key": key, "wav": path,
+                                      "txt": texts[key]}) + "\n")
+    out.close()
+    return 0
+
+
+def wav2dur(args):
+    """Print 'key duration_seconds' for a wav.scp."""
+    from paper_accurate_fast_cheap_tpu.data.pipeline import _read_wav_bytes
+
+    total = 0.0
+    for line in open(args.wav_scp, encoding="utf-8"):
+        parts = line.strip().split(maxsplit=1)
+        if len(parts) != 2:
+            continue
+        key, path = parts
+        with open(path, "rb") as f:
+            wav, sr = _read_wav_bytes(f.read())
+        dur = len(wav) / sr
+        total += dur
+        print(f"{key} {dur:.3f}")
+    print(f"# total_hours {total/3600:.3f}", file=sys.stderr)
+    return 0
+
+
+def analyze(args):
+    """Dataset statistics: durations, token counts, ratios."""
+    from paper_accurate_fast_cheap_tpu.data import pipeline as dp
+
+    if args.data_type == "raw":
+        stream = dp.decode_wav(dp.raw_source(args.data))
+    else:
+        stream = dp.decode_wav(
+            dp.tar_shard_source(dp.shard_list_source(args.data)))
+    durs, toks = [], []
+    for s in stream:
+        durs.append(len(s["wav"]) / s["sample_rate"])
+        toks.append(len(s.get("txt", "").split()))
+    durs, toks = np.asarray(durs), np.asarray(toks)
+    if len(durs) == 0:
+        print("no utterances found")
+        return 1
+    print(f"utts {len(durs)}  hours {durs.sum()/3600:.2f}")
+    for name, arr in (("duration_s", durs), ("words", toks)):
+        print(f"{name}: mean {arr.mean():.2f} p50 {np.percentile(arr,50):.2f} "
+              f"p95 {np.percentile(arr,95):.2f} max {arr.max():.2f}")
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="data utilities")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    r = sub.add_parser("make_raw_list")
+    r.add_argument("--wav_scp", required=True)
+    r.add_argument("--text", required=True)
+    r.add_argument("--segments", default=None)
+    r.add_argument("--output", required=True)
+    d = sub.add_parser("wav2dur")
+    d.add_argument("--wav_scp", required=True)
+    a = sub.add_parser("analyze")
+    a.add_argument("--data", required=True)
+    a.add_argument("--data_type", default="shard",
+                   choices=["raw", "shard"])
+    args = p.parse_args(argv)
+    return {"make_raw_list": make_raw_list, "wav2dur": wav2dur,
+            "analyze": analyze}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -32,8 +32,14 @@ def basic_greedy_search(
     enc_out: jax.Array,         # (B, T, De)
     enc_lens: jax.Array,
     blank_id: int = 0,
+    n_steps: int = 1,
 ) -> List[DecodeResult]:
-    """Frame-sync greedy, one symbol max per frame, fully jitted scan."""
+    """Frame-sync greedy, up to ``n_steps`` symbols per frame (the
+    reference's `basic_greedy_search` n_steps arg), fully jitted scan.
+    The inner emission loop is unrolled n_steps times per frame."""
+    if n_steps > 1:
+        return _greedy_multi(predictor_step, joint_step, init_state,
+                             enc_out, enc_lens, blank_id, n_steps)
     B, T, _ = enc_out.shape
 
     def select(emitted, new, old):
@@ -71,6 +77,61 @@ def basic_greedy_search(
     results = []
     for b in range(B):
         toks = [int(x) for x in emits[b, : lens[b]] if x != blank_id]
+        results.append(DecodeResult(tokens=toks))
+    return results
+
+
+def _greedy_multi(predictor_step, joint_step, init_state, enc_out,
+                  enc_lens, blank_id, n_steps):
+    """Greedy with up to n_steps emissions per frame (unrolled inner loop)."""
+    B, T, _ = enc_out.shape
+
+    def select(emitted, new, old):
+        if new.ndim >= 3:
+            e = emitted.reshape((1, -1) + (1,) * (new.ndim - 2))
+        elif new.ndim == 2:
+            e = emitted[:, None]
+        else:
+            e = emitted
+        return jnp.where(e, new, old)
+
+    def step(carry, enc_t):
+        tokens, state, pred_out = carry
+        emits = []
+        active = jnp.ones((B,), bool)  # emitting stops at first blank
+        for _ in range(n_steps):
+            logp = joint_step(enc_t, pred_out)
+            best = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+            emitted = (best != blank_id) & active
+            active = emitted
+            out_tok = jnp.where(emitted, best, blank_id)
+            new_tokens = jnp.where(emitted, best, tokens)
+            cand_out, cand_state = predictor_step(new_tokens, state)
+            pred_out = jnp.where(emitted[:, None], cand_out, pred_out)
+            state = jax.tree.map(
+                lambda new, old: select(emitted, new, old), cand_state,
+                state,
+            )
+            tokens = new_tokens
+            emits.append(out_tok)
+        return (tokens, state, pred_out), jnp.stack(emits, axis=-1)
+
+    tokens0 = jnp.full((B,), blank_id, jnp.int32)
+    pred0, _ = predictor_step(tokens0, init_state)
+    _, emits = jax.lax.scan(
+        step, (tokens0, init_state, pred0), jnp.moveaxis(enc_out, 1, 0)
+    )
+    emits = np.asarray(jnp.moveaxis(emits, 0, 1))  # (B, T, n_steps)
+    lens = np.asarray(enc_lens)
+    results = []
+    for b in range(B):
+        toks = []
+        for t in range(lens[b]):
+            for s in range(n_steps):
+                x = int(emits[b, t, s])
+                if x == blank_id:
+                    break
+                toks.append(x)
         results.append(DecodeResult(tokens=toks))
     return results
 

@@ -87,3 +87,29 @@ def test_beam_batch_independent():
     )
     assert res[0].tokens == seq0
     assert res[1].tokens == seq1
+
+
+def test_greedy_multi_emission():
+    """n_steps>1 emits multiple symbols per frame (synthetic model that
+    wants to emit token sequence per frame: enc one-hot of first token, and
+    after emitting x the joint wants x+1 once, then blank)."""
+
+    def joint2(enc_t, pred_out):
+        # desired: emit token from enc unless predictor already emitted it
+        # or its successor; after successor -> blank
+        tok = jnp.argmax(enc_t, -1)
+        last = jnp.argmax(pred_out, -1)
+        want = jnp.where(last == tok, tok + 1,
+                         jnp.where(last == tok + 1, 0, tok))
+        return jnp.log(jax.nn.one_hot(want, V) + 1e-8)
+
+    seq = [3, 6]
+    enc = jax.nn.one_hot(jnp.asarray([seq]), V)
+    res1 = rnnt_search.basic_greedy_search(
+        predictor_step, joint2, jnp.zeros((1,)), enc, jnp.asarray([2]),
+        n_steps=1)
+    res2 = rnnt_search.basic_greedy_search(
+        predictor_step, joint2, jnp.zeros((1,)), enc, jnp.asarray([2]),
+        n_steps=3)
+    assert res1[0].tokens == [3, 6]          # one per frame
+    assert res2[0].tokens == [3, 4, 6, 7]    # pairs per frame
