@@ -73,6 +73,11 @@ def build_decode_assets(config, checkpoint, input_dim=80):
     dataset_conf["fbank_conf"] = fb
     input_dim = fb.get("num_mel_bins", input_dim)
 
+    # decode path: prefer the fused Pallas wkv kernel (forward-only)
+    config = dict(config)
+    enc_conf = dict(config.get("encoder_conf", {}))
+    enc_conf.setdefault("wkv_impl", "pallas")
+    config["encoder_conf"] = enc_conf
     model, model_type = factory.init_model(config, vocab_size, input_dim)
     feats0 = jnp.zeros((1, 64, input_dim))
     params0 = model.init(jax.random.PRNGKey(0), feats0,
