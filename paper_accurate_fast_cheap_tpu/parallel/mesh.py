@@ -43,3 +43,62 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def make_dp_tp_mesh(n_devices: Optional[int] = None,
+                    tp: int = 2) -> Mesh:
+    """2-D mesh (data, model) for hybrid data+tensor parallelism.
+
+    The reference scales only by DP (SURVEY.md §5: "No TP/PP/SP/EP
+    anywhere"); TP here is a TPU-native extension: big kernels are sharded
+    over the 'model' axis, XLA inserts the all-reduces over ICI."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    assert len(devs) % tp == 0
+    return Mesh(
+        np.asarray(devs).reshape(len(devs) // tp, tp), ("data", "model")
+    )
+
+
+def tp_param_spec(path_str: str, shape) -> P:
+    """Tensor-parallel PartitionSpec by parameter role.
+
+    - FFN up-projection kernels (d -> hidden): shard hidden (last dim)
+    - FFN down-projection kernels (hidden -> d): shard hidden (first dim)
+    - output-vocab projections (ctc_lo / output_layer): shard vocab
+    - everything else: replicated
+    """
+    if len(shape) != 2:
+        return P()
+    if "ctc_lo" in path_str or "output_layer" in path_str:
+        return P(None, "model")
+    if "feed_forward" in path_str or "mlp" in path_str:
+        if "Dense_0" in path_str:
+            return P(None, "model")
+        if "Dense_1" in path_str:
+            return P("model", None)
+    return P()
+
+
+def shard_params_tp(mesh: Mesh, params):
+    """Place a param tree with the tp_param_spec rules."""
+
+    def place(path, x):
+        name = jax.tree_util.keystr(path)
+        spec = tp_param_spec(name, getattr(x, "shape", ()))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def tp_shardings(mesh: Mesh, params):
+    """The NamedSharding tree matching shard_params_tp (for jit specs)."""
+
+    def spec(path, x):
+        name = jax.tree_util.keystr(path)
+        return NamedSharding(
+            mesh, tp_param_spec(name, getattr(x, "shape", ()))
+        )
+
+    return jax.tree_util.tree_map_with_path(spec, params)
