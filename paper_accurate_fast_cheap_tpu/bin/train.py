@@ -159,6 +159,11 @@ def main(argv=None):
     os.makedirs(args.model_dir, exist_ok=True)
     save_config(config, os.path.join(args.model_dir, "train.yaml"))
 
+    from paper_accurate_fast_cheap_tpu.train.metrics_logger import (
+        MetricsLogger,
+    )
+
+    logger = MetricsLogger(os.path.join(args.model_dir, "logs"))
     snap_conf = config.get("snapshot_saving_conf", {})
     ex = executor_lib.Executor(
         jit_step, eval_loss, featurize,
@@ -168,6 +173,7 @@ def main(argv=None):
         save_optimizer_every=snap_conf.get("save_optimizer_every", 10),
         use_named_snapshots=snap_conf.get("use_named_snapshots", False),
         seed=args.seed,
+        metrics_logger=logger,
     )
     ex.step = int(state.step)
 

@@ -321,19 +321,28 @@ def static_batch(samples, batch_size: int = 16):
         yield buf
 
 
-def dynamic_batch(samples, max_frames_in_batch: int = 12000):
-    """Frame-budget batching (`processor.py:767-783` DynamicBatchWindow)."""
+def dynamic_batch(samples, max_frames_in_batch: int = 12000,
+                  max_words_in_batch: int = 0):
+    """Frame-budget batching (`processor.py:767-783` DynamicBatchWindow) with
+    the optional word cap of the `distribute` batch type
+    (`datapipes.py:207-331`)."""
     buf = []
     longest = 0
+    words = 0
     for s in samples:
         frames = compute_num_frames(len(s["wav"]), s["sample_rate"])
+        w = len(s.get("txt", "").split())
         longest_new = max(longest, frames)
-        if buf and longest_new * (len(buf) + 1) > max_frames_in_batch:
+        over_frames = longest_new * (len(buf) + 1) > max_frames_in_batch
+        over_words = max_words_in_batch > 0 and \
+            (words + w) > max_words_in_batch
+        if buf and (over_frames or over_words):
             yield buf
-            buf, longest = [s], frames
+            buf, longest, words = [s], frames, w
         else:
             buf.append(s)
             longest = longest_new
+            words += w
     if buf:
         yield buf
 
@@ -437,8 +446,9 @@ def build_dataset(
     if btype == "static":
         batches = static_batch(stream, bc.get("batch_size", 16))
     elif btype in ("dynamic", "distribute"):
-        batches = dynamic_batch(stream,
-                                bc.get("max_frames_in_batch", 12000))
+        batches = dynamic_batch(
+            stream, bc.get("max_frames_in_batch", 12000),
+            bc.get("max_words_in_batch", 0))
     else:
         raise ValueError(f"unknown batch_type {btype!r}")
     for b in batches:

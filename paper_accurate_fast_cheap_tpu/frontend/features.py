@@ -157,6 +157,48 @@ def fbank_batch(waveforms: jax.Array, lengths: jax.Array, **kw) -> tuple:
     return feats, frame_lens
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_mel_bins", "num_ceps", "frame_length",
+                     "frame_shift", "sample_rate", "dither",
+                     "cepstral_lifter", "low_freq", "high_freq"),
+)
+def mfcc(
+    waveform: jax.Array,
+    num_mel_bins: int = 23,
+    num_ceps: int = 13,
+    frame_length: int = 400,
+    frame_shift: int = 160,
+    sample_rate: int = 16000,
+    dither: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    cepstral_lifter: float = 22.0,
+    low_freq: float = 20.0,
+    high_freq: float = 0.0,
+) -> jax.Array:
+    """Kaldi-style MFCC: fbank -> DCT-II -> cepstral liftering
+    (`processor.py:385` compute_mfcc parity surface)."""
+    fb = fbank(
+        waveform, num_mel_bins=num_mel_bins, frame_length=frame_length,
+        frame_shift=frame_shift, sample_rate=sample_rate, dither=dither,
+        rng=rng,
+    )
+    n = num_mel_bins
+    # orthonormal DCT-II matrix (kaldi convention)
+    j = np.arange(n)
+    dct = np.cos(np.pi / n * (j[None, :] + 0.5) * np.arange(num_ceps)[:, None])
+    dct *= np.sqrt(2.0 / n)
+    dct[0] *= np.sqrt(0.5)  # orthonormal first row: sqrt(1/N) overall
+    ceps = fb @ jnp.asarray(dct.astype(np.float32)).T
+    if cepstral_lifter > 0:
+        i = np.arange(num_ceps)
+        lifter = 1.0 + 0.5 * cepstral_lifter * np.sin(
+            np.pi * i / cepstral_lifter
+        )
+        ceps = ceps * jnp.asarray(lifter.astype(np.float32))
+    return ceps
+
+
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop_length",
                                              "num_mel_bins", "sample_rate"))
 def whisper_log_mel(

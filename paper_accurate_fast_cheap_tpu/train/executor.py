@@ -38,6 +38,7 @@ class Executor:
         save_optimizer_every: int = 10,
         use_named_snapshots: bool = False,
         seed: int = 0,
+        metrics_logger=None,
     ):
         self.train_step = train_step
         self.eval_loss = eval_loss
@@ -47,6 +48,7 @@ class Executor:
         self.save_interval = save_interval
         self.save_optimizer_every = save_optimizer_every
         self.use_named_snapshots = use_named_snapshots
+        self.metrics_logger = metrics_logger
         self.step = 0
         self.frames_seen = 0
         self.snapshots_saved = 0
@@ -78,6 +80,14 @@ class Executor:
             self.frames_seen += int(np.sum(raw["wav_lens"])) // 160
             if batch_idx % self.log_interval == 0:
                 lr = float(lr_of_step(self.step)) if lr_of_step else None
+                if self.metrics_logger is not None:
+                    self.metrics_logger.log(
+                        self.step,
+                        dict({k2: float(v) for k2, v in metrics.items()},
+                             loss=float(loss),
+                             frames_seen=self.frames_seen,
+                             **({"lr": lr} if lr is not None else {})),
+                    )
                 parts = " ".join(
                     f"{k2}={float(v):.4f}" for k2, v in metrics.items()
                 )

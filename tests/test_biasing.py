@@ -83,3 +83,36 @@ def test_rtf_tables(tmp_path):
         [str(tmp_path / f"run{i}.rtf") for i in range(3)])
     assert rows[0]["runs"] == 3
     assert 0.001 <= rows[0]["rtf_mean"] <= 0.003
+
+
+def test_metrics_logger(tmp_path):
+    import json
+
+    from paper_accurate_fast_cheap_tpu.train.metrics_logger import (
+        MetricsLogger,
+    )
+
+    lg = MetricsLogger(str(tmp_path), use_tensorboard=True)
+    lg.log(1, {"loss": 2.5, "grad_norm": 0.1})
+    lg.log(2, {"loss": 2.0})
+    lg.close()
+    lines = (tmp_path / "metrics.jsonl").read_text().strip().split("\n")
+    assert len(lines) == 2
+    assert json.loads(lines[0])["train/loss"] == 2.5
+    assert (tmp_path / "tensorboard").exists()
+
+
+def test_dynamic_batch_word_cap():
+    from paper_accurate_fast_cheap_tpu.data import pipeline as pl
+
+    samples = [
+        {"key": f"u{i}", "wav": np.zeros(1600), "sample_rate": 16000,
+         "label": np.asarray([1]), "txt": "a b c"}
+        for i in range(9)
+    ]
+    batches = list(pl.dynamic_batch(iter(samples),
+                                    max_frames_in_batch=10**9,
+                                    max_words_in_batch=7))
+    assert all(sum(len(s["txt"].split()) for s in b) <= 7 or len(b) == 1
+               for b in batches)
+    assert len(batches) > 1

@@ -137,3 +137,14 @@ def test_spec_trim_reduces_length():
     lens = [augment.spec_trim_length(jax.random.PRNGKey(s), jnp.asarray(100))
             for s in range(5)]
     assert all(80 <= int(l) <= 99 for l in lens)
+
+
+def test_mfcc_shapes_and_dct():
+    wav = jnp.asarray(np.random.RandomState(9).randn(8000).astype(
+        np.float32) * 1000)
+    ceps = features.mfcc(wav, num_mel_bins=23, num_ceps=13)
+    assert ceps.shape == (features.num_frames(8000), 13)
+    assert np.isfinite(np.asarray(ceps)).all()
+    # c0 carries the energy scale: louder audio -> larger c0
+    ceps2 = features.mfcc(wav * 8, num_mel_bins=23, num_ceps=13)
+    assert float(ceps2[:, 0].mean()) > float(ceps[:, 0].mean())
