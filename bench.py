@@ -36,7 +36,8 @@ def main():
             ), out_lens
 
     # LF-decode shape: batch of 9000-frame (90 s) windows, bf16 activations
-    B, T = 4, 9000
+    # (batch 8 saturates the chip; the reference LF harness sweeps 1-14)
+    B, T = 8, 9000
     model = EncoderCTC()
     feats32 = jax.random.normal(jax.random.PRNGKey(0), (B, T, 80))
     feats = feats32.astype(jnp.bfloat16)

@@ -95,10 +95,70 @@ def _kernel(r_ref, k_ref, v_ref, w_ref, u_ref, y_ref, state_ref, *,
         y_ref[0, sl, :] = y.astype(y_ref.dtype)
 
 
+def _kernel_v2(r_ref, k_ref, v_ref, w_ref, u_ref, y_ref, state_ref, *,
+               L: int, N: int):
+    """v2: single big masked (L, L) intra matmul per chunk + 16-step
+    sub-block state scan (fewer, larger MXU ops than _kernel)."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        state_ref[...] = jnp.zeros_like(state_ref)
+
+    f32 = jnp.float32
+    r = r_ref[0].astype(f32)          # (L, N)
+    k = k_ref[0].astype(f32)
+    v = v_ref[0].astype(f32)
+    w = w_ref[0].astype(f32)
+    u = u_ref[0].astype(f32)          # (1, N)
+    w = jnp.minimum(w, np.log(160.0 / (SUB + 2)))
+    nb = L // SUB
+
+    rowL = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    colL = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    same_blk = (rowL // SUB) == (colL // SUB)
+    # block-diagonal inclusive-cumsum operator (per sub-block)
+    csum_blk = ((rowL >= colL) & same_blk).astype(f32)
+    # selectors: midpoint row / last row of own sub-block
+    mid_sel = ((colL == (rowL // SUB) * SUB + SUB // 2)).astype(f32)
+    last_sel = ((colL == (rowL // SUB) * SUB + SUB - 1)).astype(f32)
+
+    lw = -jnp.exp(w)                                     # (L, N)
+    Bi = jnp.dot(csum_blk, lw, preferred_element_type=f32)
+    Be = Bi - lw
+    m = jnp.dot(mid_sel, Bi, preferred_element_type=f32)
+    total = jnp.dot(last_sel, Bi, preferred_element_type=f32)
+
+    q_mid = r * jnp.exp(Be - m)
+    k_mid = k * jnp.exp(m - Bi)
+    A = jax.lax.dot_general(q_mid, k_mid, (((1,), (1,)), ((), ())),
+                            preferred_element_type=f32)   # (L, L)
+    intra_ok = (rowL > colL) & same_blk
+    A = jnp.where(intra_ok, A, 0.0)
+    diag = jnp.sum(r * u * k, axis=-1, keepdims=True)
+    y = jnp.dot(A, v, preferred_element_type=f32) + diag * v
+
+    q_gl = r * jnp.exp(Be)
+    k_tail = k * jnp.exp(total - Bi)
+    for j in range(nb):
+        sl = slice(j * SUB, (j + 1) * SUB)
+        S = state_ref[...]
+        y_cross = jnp.dot(q_gl[sl], S, preferred_element_type=f32)
+        y_ref[0, sl, :] = (y[sl] + y_cross).astype(y_ref.dtype)
+        tj = total[j * SUB][None, :]
+        state_ref[...] = (
+            jnp.exp(tj).T * S
+            + jax.lax.dot_general(
+                k_tail[sl], v[sl], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("chunk_size", "return_state"))
+    jax.jit, static_argnames=("chunk_size", "return_state", "version"))
 def _wkv6_pallas_fwd(r, k, v, w, u, state=None, chunk_size: int = 256,
-                     return_state: bool = False):
+                     return_state: bool = False, version: int = 2):
     B, T, H, N = r.shape
     out_dtype = r.dtype
     L = int(chunk_size)
@@ -134,7 +194,10 @@ def _wkv6_pallas_fwd(r, k, v, w, u, state=None, chunk_size: int = 256,
     )
 
     if state is None:
-        kernel = functools.partial(_kernel, L=L, N=N, carry_in=False)
+        if version == 2:
+            kernel = functools.partial(_kernel_v2, L=L, N=N)
+        else:
+            kernel = functools.partial(_kernel, L=L, N=N, carry_in=False)
         y = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((BH, Tp, N), out_dtype),
