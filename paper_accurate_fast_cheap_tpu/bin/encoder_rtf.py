@@ -31,12 +31,47 @@ def get_args(argv=None):
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--output", default=None, help="write .rtf file here")
+    # sweep mode (`local/go-run-encoder-rtf.single-gpu-3x3-g5.sh:59-107`)
+    p.add_argument("--sweep_batches", default=None,
+                   help="comma list, e.g. 1,4,8,14")
+    p.add_argument("--sweep_chunks", default=None,
+                   help="comma list, e.g. 2000,9000,40000")
+    p.add_argument("--sweep_runs", type=int, default=1)
+    p.add_argument("--sweep_dir", default=None,
+                   help="directory for sweep .rtf files")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = get_args(argv)
     logging.basicConfig(level=logging.INFO)
+    if args.sweep_batches or args.sweep_chunks:
+        import os
+
+        batches = [int(x) for x in
+                   (args.sweep_batches or str(args.batch_size)).split(",")]
+        chunks = [int(x) for x in
+                  (args.sweep_chunks or str(args.chunk_size)).split(",")]
+        out_dir = args.sweep_dir or "rtf_sweep"
+        os.makedirs(out_dir, exist_ok=True)
+        for run in range(args.sweep_runs):
+            for b in batches:
+                for c in chunks:
+                    out = os.path.join(out_dir,
+                                       f"run{run}_b{b}_c{c}.rtf")
+                    run_once(args, batch=b, chunk=c, output=out)
+        from paper_accurate_fast_cheap_tpu.tools import rtf_tables
+
+        rows = rtf_tables.aggregate(
+            [os.path.join(out_dir, f) for f in os.listdir(out_dir)
+             if f.endswith(".rtf")])
+        for r in rows:
+            print(r)
+        return 0
+    return run_once(args, args.batch_size, args.chunk_size, args.output)
+
+
+def run_once(args, batch, chunk, output=None):
     from paper_accurate_fast_cheap_tpu.models import factory
     from paper_accurate_fast_cheap_tpu.utils.config import load_config
 
@@ -46,7 +81,7 @@ def main(argv=None):
     vocab = config.get("vocab_size_for_bench", 5002)
     model, model_type = factory.init_model(config, vocab, input_dim)
 
-    B, T = args.batch_size, args.chunk_size
+    B, T = batch, chunk
     feats = jax.random.normal(jax.random.PRNGKey(0), (B, T, input_dim))
     lens = jnp.full((B,), T, jnp.int32)
     params = model.init(jax.random.PRNGKey(1), feats[:1, :256], lens[:1],
@@ -93,8 +128,8 @@ def main(argv=None):
     ]
     report = "\n".join(lines)
     print(report)
-    if args.output:
-        with open(args.output, "w") as f:
+    if output:
+        with open(output, "w") as f:
             f.write(report + "\n")
     return 0
 
