@@ -16,12 +16,15 @@ sub-blocks of S=16:
 Backward: custom_vjp that recomputes through the differentiable XLA chunked
 path (the kernel is the inference/bench fast path; training uses autodiff).
 
-Status: measured at parity with the XLA chunked path on v5e (both ~5.5 ms
-at B=4, T=2250, H=8, N=64 bf16) — the (*, 64)-lane blocks use half the MXU
-width.  Planned optimizations: pair heads for 128-lane blocks, batch the
-intra-sub-block matmuls into one (L, L) masked matmul, double-buffered
-input DMA.  bf16 outputs match the scan oracle to within output
-quantization (~0.8% at |y|~60), the same as the XLA path on TPU.
+Status (v5e, B=4-8, T=2250, H=8, N=64 bf16): v2 (default) beats the XLA
+chunked path in-context (encoder 74 -> 66 ms at B=4); profiling shows the
+remaining cost is the SERIAL per-head sub-block state scan (~15x above
+bandwidth-bound).  v3 (batched-over-heads dots, one sub-block per grid
+step) was tried and is slower — Mosaic unrolls batch dims of dot_general
+rather than widening the MXU.  Round-2 directions: break the serial chain
+with an associative scan over chunk states, or pack head pairs into
+block-diagonal 128-wide operands.  bf16 outputs match the scan oracle to
+within output quantization (~0.8% at |y|~60), same as the XLA path on TPU.
 """
 from __future__ import annotations
 
@@ -155,6 +158,69 @@ def _kernel_v2(r_ref, k_ref, v_ref, w_ref, u_ref, y_ref, state_ref, *,
         )
 
 
+def _kernel_v3(r_ref, k_ref, v_ref, w_ref, u_ref, y_ref, state_ref, *,
+               N: int, BH: int):
+    """v3: grid over (chunk?, sub-block) with ALL B*H heads batched in each
+    step — the serial state scan's small matmuls become (BH, ...)-batched
+    dots that fill the MXU (the profile shows the per-head serial scan is
+    the bottleneck, ~15x above bandwidth-bound)."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        state_ref[...] = jnp.zeros_like(state_ref)
+
+    f32 = jnp.float32
+    r = r_ref[...].astype(f32)        # (BH, S, N)
+    k = k_ref[...].astype(f32)
+    v = v_ref[...].astype(f32)
+    w = w_ref[...].astype(f32)
+    u = u_ref[...].astype(f32)        # (BH, 1, N)
+    w = jnp.minimum(w, np.log(160.0 / (SUB + 2)))
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
+    csum = (row >= col).astype(f32)
+
+    lw = -jnp.exp(w)                                   # (BH, S, N)
+    csum_b = jnp.broadcast_to(csum[None], (BH, SUB, SUB))
+    Bi = jax.lax.dot_general(
+        csum_b, lw, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    )                                                  # (BH, S, N)
+    Be = Bi - lw
+    m = Bi[:, SUB // 2 : SUB // 2 + 1, :]
+    q_mid = r * jnp.exp(Be - m)
+    k_mid = k * jnp.exp(m - Bi)
+    batch_dims = (((2,), (2,)), ((0,), (0,)))
+    A = jax.lax.dot_general(q_mid, k_mid, batch_dims,
+                            preferred_element_type=f32)  # (BH, S, S)
+    A = jnp.where((row > col)[None], A, 0.0)
+    diag = jnp.sum(r * u * k, axis=-1, keepdims=True)
+    # y_intra: (BH,S,S) @ (BH,S,N)
+    y = jax.lax.dot_general(
+        A, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    ) + diag * v
+
+    S = state_ref[...]                                  # (BH, N, N)
+    q_gl = r * jnp.exp(Be)
+    y = y + jax.lax.dot_general(
+        q_gl, S, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    )
+    total = Bi[:, SUB - 1 : SUB, :]                     # (BH, 1, N)
+    k_tail = k * jnp.exp(total - Bi)
+    state_ref[...] = (
+        jnp.exp(total).transpose(0, 2, 1) * S
+        + jax.lax.dot_general(
+            k_tail, v, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )
+    )
+    y_ref[...] = y.astype(y_ref.dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("chunk_size", "return_state", "version"))
 def _wkv6_pallas_fwd(r, k, v, w, u, state=None, chunk_size: int = 256,
@@ -194,15 +260,31 @@ def _wkv6_pallas_fwd(r, k, v, w, u, state=None, chunk_size: int = 256,
     )
 
     if state is None:
-        if version == 2:
-            kernel = functools.partial(_kernel_v2, L=L, N=N)
+        if version == 3:
+            # grid over sub-blocks; all BH heads batched per step
+            steps = Tp // SUB
+            spec = pl.BlockSpec((BH, SUB, N), lambda s: (0, s, 0))
+            y = pl.pallas_call(
+                functools.partial(_kernel_v3, N=N, BH=BH),
+                out_shape=jax.ShapeDtypeStruct((BH, Tp, N), out_dtype),
+                grid=(steps,),
+                in_specs=[spec, spec, spec, spec,
+                          pl.BlockSpec((BH, 1, N), lambda s: (0, 0, 0))],
+                out_specs=spec,
+                scratch_shapes=[pltpu.VMEM((BH, N, N), jnp.float32)],
+                interpret=jax.default_backend() != "tpu",
+            )(rb, kb, vb, wb, ub)
         else:
-            kernel = functools.partial(_kernel, L=L, N=N, carry_in=False)
-        y = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((BH, Tp, N), out_dtype),
-            **kwargs,
-        )(rb, kb, vb, wb, ub)
+            if version == 2:
+                kernel = functools.partial(_kernel_v2, L=L, N=N)
+            else:
+                kernel = functools.partial(_kernel, L=L, N=N,
+                                           carry_in=False)
+            y = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((BH, Tp, N), out_dtype),
+                **kwargs,
+            )(rb, kb, vb, wb, ub)
         S_fin = None
     else:
         raise NotImplementedError(
