@@ -16,15 +16,15 @@ sub-blocks of S=16:
 Backward: custom_vjp that recomputes through the differentiable XLA chunked
 path (the kernel is the inference/bench fast path; training uses autodiff).
 
-Status (v5e, B=4-8, T=2250, H=8, N=64 bf16): v2 (default) beats the XLA
-chunked path in-context (encoder 74 -> 66 ms at B=4); profiling shows the
-remaining cost is the SERIAL per-head sub-block state scan (~15x above
-bandwidth-bound).  v3 (batched-over-heads dots, one sub-block per grid
-step) was tried and is slower — Mosaic unrolls batch dims of dot_general
-rather than widening the MXU.  Round-2 directions: break the serial chain
-with an associative scan over chunk states, or pack head pairs into
-block-diagonal 128-wide operands.  bf16 outputs match the scan oracle to
-within output quantization (~0.8% at |y|~60), same as the XLA path on TPU.
+Status (v5e, B=4-8, T=2250, H=8, N=64 bf16): v4 (default) = big-matmul
+intra (v2) + HEAD-PAIRED block-diagonal state scan (128-lane dots),
+~17% faster than v2 standalone; beats the XLA chunked path in-context.
+Profiling shows the remaining cost is still the serial sub-block scan
+(~10x above bandwidth-bound).  v3 (batched-over-heads dots) is slower —
+Mosaic unrolls dot_general batch dims rather than widening the MXU.
+Round-2 direction: break the serial chain entirely with a two-pass
+chunk-state formulation.  bf16 outputs match the scan oracle to within
+output quantization (~0.8% at |y|~60), same as the XLA path on TPU.
 """
 from __future__ import annotations
 
@@ -158,6 +158,81 @@ def _kernel_v2(r_ref, k_ref, v_ref, w_ref, u_ref, y_ref, state_ref, *,
         )
 
 
+def _kernel_v4(r_ref, k_ref, v_ref, w_ref, u_ref, y_ref, state_ref, *,
+               L: int, N: int):
+    """v4: v2 with HEAD-PAIRED state scan — two heads' states live in one
+    block-diagonal (2N, 2N) scratch so every scan dot is 128 lanes wide
+    (halves the serial dot count of the hot loop)."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        state_ref[...] = jnp.zeros_like(state_ref)
+
+    f32 = jnp.float32
+    nb = L // SUB
+    rowL = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    colL = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    same_blk = (rowL // SUB) == (colL // SUB)
+    csum_blk = ((rowL >= colL) & same_blk).astype(f32)
+    mid_sel = ((colL == (rowL // SUB) * SUB + SUB // 2)).astype(f32)
+    last_sel = ((colL == (rowL // SUB) * SUB + SUB - 1)).astype(f32)
+    intra_ok = (rowL > colL) & same_blk
+
+    ys = []
+    q_gls = []
+    k_tails = []
+    vs = []
+    totals = []
+    for h in range(2):
+        r = r_ref[h].astype(f32)
+        k = k_ref[h].astype(f32)
+        v = v_ref[h].astype(f32)
+        w = w_ref[h].astype(f32)
+        u = u_ref[h].astype(f32)
+        w = jnp.minimum(w, np.log(160.0 / (SUB + 2)))
+        lw = -jnp.exp(w)
+        Bi = jnp.dot(csum_blk, lw, preferred_element_type=f32)
+        Be = Bi - lw
+        m = jnp.dot(mid_sel, Bi, preferred_element_type=f32)
+        total = jnp.dot(last_sel, Bi, preferred_element_type=f32)
+        q_mid = r * jnp.exp(Be - m)
+        k_mid = k * jnp.exp(m - Bi)
+        A = jax.lax.dot_general(q_mid, k_mid, (((1,), (1,)), ((), ())),
+                                preferred_element_type=f32)
+        A = jnp.where(intra_ok, A, 0.0)
+        diag = jnp.sum(r * u * k, axis=-1, keepdims=True)
+        ys.append(jnp.dot(A, v, preferred_element_type=f32) + diag * v)
+        q_gls.append(r * jnp.exp(Be))
+        k_tails.append(k * jnp.exp(total - Bi))
+        vs.append(v)
+        totals.append(total)
+
+    # paired scan: 128-lane concatenated operands, block-diag (2N, 2N) state
+    q_cat = jnp.concatenate(q_gls, axis=-1)        # (L, 2N)
+    kt_cat = jnp.concatenate(k_tails, axis=-1)
+    v_cat = jnp.concatenate(vs, axis=-1)
+    tot_cat = jnp.concatenate(totals, axis=-1)     # (L, 2N)
+    y_cat = jnp.concatenate(ys, axis=-1)
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (2 * N, 2 * N), 0)
+    c2 = jax.lax.broadcasted_iota(jnp.int32, (2 * N, 2 * N), 1)
+    blkdiag = ((r2 // N) == (c2 // N)).astype(f32)
+
+    for j in range(nb):
+        sl = slice(j * SUB, (j + 1) * SUB)
+        S = state_ref[...]
+        y_cross = jnp.dot(q_cat[sl], S, preferred_element_type=f32)
+        out = (y_cat[sl] + y_cross).astype(y_ref.dtype)
+        y_ref[0, sl, :] = out[:, :N]
+        y_ref[1, sl, :] = out[:, N:]
+        tj = tot_cat[j * SUB][None, :]             # (1, 2N)
+        M = jax.lax.dot_general(
+            kt_cat[sl], v_cat[sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        state_ref[...] = (jnp.exp(tj).T * S + M) * blkdiag
+
+
 def _kernel_v3(r_ref, k_ref, v_ref, w_ref, u_ref, y_ref, state_ref, *,
                N: int, BH: int):
     """v3: grid over (chunk?, sub-block) with ALL B*H heads batched in each
@@ -224,7 +299,7 @@ def _kernel_v3(r_ref, k_ref, v_ref, w_ref, u_ref, y_ref, state_ref, *,
 @functools.partial(
     jax.jit, static_argnames=("chunk_size", "return_state", "version"))
 def _wkv6_pallas_fwd(r, k, v, w, u, state=None, chunk_size: int = 256,
-                     return_state: bool = False, version: int = 2):
+                     return_state: bool = False, version: int = 4):
     B, T, H, N = r.shape
     out_dtype = r.dtype
     L = int(chunk_size)
@@ -260,7 +335,21 @@ def _wkv6_pallas_fwd(r, k, v, w, u, state=None, chunk_size: int = 256,
     )
 
     if state is None:
-        if version == 3:
+        if version == 4 and BH % 2:
+            version = 2  # odd head count: fall back to unpaired kernel
+        if version == 4:
+            spec = pl.BlockSpec((2, L, N), lambda p, c: (p, c, 0))
+            y = pl.pallas_call(
+                functools.partial(_kernel_v4, L=L, N=N),
+                out_shape=jax.ShapeDtypeStruct((BH, Tp, N), out_dtype),
+                grid=(BH // 2, C),
+                in_specs=[spec, spec, spec, spec,
+                          pl.BlockSpec((2, 1, N), lambda p, c: (p, 0, 0))],
+                out_specs=spec,
+                scratch_shapes=[pltpu.VMEM((2 * N, 2 * N), jnp.float32)],
+                interpret=jax.default_backend() != "tpu",
+            )(rb, kb, vb, wb, ub)
+        elif version == 3:
             # grid over sub-blocks; all BH heads batched per step
             steps = Tp // SUB
             spec = pl.BlockSpec((BH, SUB, N), lambda s: (0, s, 0))
