@@ -74,6 +74,53 @@ class MultiHeadedAttention(nn.Module):
         return self._attend(scores, v, mask, deterministic)
 
 
+class ESPnetRelPositionMultiHeadedAttention(MultiHeadedAttention):
+    """ESPnet-style rel-pos attention WITH the rel_shift
+    (`attention.py:1058-1152`): pos_emb covers relative positions
+    -(T-1)..(T-1) (2T-1 entries) and matrix_bd is shifted so column j
+    corresponds to relative offset (j - i)."""
+
+    def setup(self):
+        super().setup()
+        self.linear_pos = nn.Dense(self.d_model, use_bias=False)
+        self.pos_bias_u = self.param(
+            "pos_bias_u", nn.initializers.xavier_uniform(),
+            (self.heads, self.d_k),
+        )
+        self.pos_bias_v = self.param(
+            "pos_bias_v", nn.initializers.xavier_uniform(),
+            (self.heads, self.d_k),
+        )
+
+    @staticmethod
+    def rel_shift(x):
+        """(B, H, T, 2T-1) -> (B, H, T, T): keep columns so that output
+        [..., i, j] = input[..., i, (T-1) + (j - i)]."""
+        B, H, T, _ = x.shape
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
+        x = x.reshape(B, H, 2 * T, T)
+        x = x[:, :, 1:].reshape(B, H, T, 2 * T - 1)
+        return x[..., :T]
+
+    def __call__(self, x_q, x_kv, mask=None, pos_emb=None, *,
+                 deterministic: bool = True):
+        assert pos_emb is not None
+        q, k, v = self._qkv(x_q, x_kv)
+        Tq = q.shape[1]
+        Np = pos_emb.shape[1]
+        p = self.linear_pos(pos_emb).reshape(-1, Np, self.heads, self.d_k)
+        q_u = q + self.pos_bias_u[None, None]
+        q_v = q + self.pos_bias_v[None, None]
+        matrix_ac = jnp.einsum("bthd,bshd->bhts", q_u, k)
+        matrix_bd = jnp.einsum("bthd,nshd->bhts", q_v, p)
+        if Np == 2 * Tq - 1:
+            matrix_bd = self.rel_shift(matrix_bd)
+        scores = (matrix_ac + matrix_bd[..., : k.shape[1]]) / jnp.sqrt(
+            jnp.asarray(self.d_k, jnp.float32)
+        ).astype(q.dtype)
+        return self._attend(scores, v, mask, deterministic)
+
+
 class RelPositionMultiHeadedAttention(MultiHeadedAttention):
     """Rel-pos MHA, WeNet flavor: scores = (q+u)k^T + (q+v)p^T, no rel_shift."""
 

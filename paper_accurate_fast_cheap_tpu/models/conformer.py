@@ -70,6 +70,11 @@ def _make_attention(
             heads=heads, d_model=d_model, dropout_rate=dropout_rate,
             key_bias=key_bias,
         )
+    if layer_type == "espnet_rel_selfattn":
+        return att_mod.ESPnetRelPositionMultiHeadedAttention(
+            heads=heads, d_model=d_model, dropout_rate=dropout_rate,
+            key_bias=key_bias,
+        )
     if layer_type == "limited_rel_selfattn":
         from paper_accurate_fast_cheap_tpu.models.lca import (
             LimitedRelPositionAttention,

@@ -157,3 +157,61 @@ def test_lsl_encoder_and_context_adaptor():
     cap = ca.init(jax.random.PRNGKey(2), taps, cv, cv_lens)
     bias = ca.apply(cap, taps, cv, cv_lens)
     assert bias.shape == taps[-1].shape
+
+
+def test_espnet_rel_shift_semantics():
+    from paper_accurate_fast_cheap_tpu.models.attention import (
+        ESPnetRelPositionMultiHeadedAttention as E,
+    )
+
+    T = 4
+    # in[i, c] = c; after shift out[i, j] should equal (T-1) + (j - i)
+    x = jnp.broadcast_to(jnp.arange(2 * T - 1, dtype=jnp.float32),
+                         (1, 1, T, 2 * T - 1))
+    out = np.asarray(E.rel_shift(x))[0, 0]
+    for i in range(T):
+        for j in range(T):
+            assert out[i, j] == (T - 1) + (j - i), (i, j, out)
+
+
+def test_espnet_attention_forward():
+    from paper_accurate_fast_cheap_tpu.models.attention import (
+        ESPnetRelPositionMultiHeadedAttention as E,
+    )
+    from paper_accurate_fast_cheap_tpu.models.embedding import (
+        sinusoid_table,
+    )
+
+    T, D = 10, 16
+    mod = E(heads=2, d_model=D, dropout_rate=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, T, D))
+    pos = jnp.asarray(sinusoid_table(2 * T - 1, D))[None]
+    params = mod.init(jax.random.PRNGKey(1), x, x, None, pos)
+    out = mod.apply(params, x, x, None, pos)
+    assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_wav2vec2_ssl():
+    from paper_accurate_fast_cheap_tpu.models.ssl_wav2vec2 import (
+        Wav2Vec2Model,
+    )
+
+    model = Wav2Vec2Model(
+        encoder_conf=dict(input_size=16, output_size=32, attention_heads=2,
+                          linear_units=64, num_blocks=1,
+                          input_layer="linear",
+                          selfattention_layer_type="rel_selfattn",
+                          dropout_rate=0.0),
+        proj_dim=16, num_negatives=8, mask_prob=0.2, mask_length=3,
+    )
+    feats = jax.random.normal(jax.random.PRNGKey(0), (2, 40, 16))
+    lens = jnp.asarray([40, 30])
+    params = model.init(jax.random.PRNGKey(1), feats, lens,
+                        jax.random.PRNGKey(2), True)
+    out = model.apply(params, feats, lens, jax.random.PRNGKey(3), True)
+    assert np.isfinite(float(out["loss"]))
+    assert int(out["num_masked"]) > 0
+    g = jax.grad(lambda p: model.apply(p, feats, lens,
+                                       jax.random.PRNGKey(3),
+                                       True)["loss"])(params)
+    assert np.isfinite(np.asarray(jax.tree.leaves(g)[0])).all()
