@@ -73,7 +73,18 @@ def convert_state_dict(sd: Dict[str, Any], params: Dict[str, Any],
         enc["embed"]["Conv_1"]["kernel"] = sd[
             "encoder.embed.conv.2.weight"].transpose(2, 3, 1, 0)
         enc["embed"]["Conv_1"]["bias"] = sd["encoder.embed.conv.2.bias"]
-        _dense(sd, "encoder.embed.out.0", enc["embed"]["Dense_0"])
+        # the reference flattens conv output channel-major (c, f)
+        # (`x.transpose(1,2).view(b, t, c*f)`); ours is freq-major (f, c):
+        # permute the Linear's input rows accordingly
+        w_out = sd["encoder.embed.out.0.weight"]          # (odim, c*f)
+        odim = w_out.shape[0]
+        c = enc["embed"]["Conv_1"]["kernel"].shape[-1]
+        f = w_out.shape[1] // c
+        w_perm = w_out.reshape(odim, c, f).transpose(0, 2, 1).reshape(
+            odim, f * c)
+        enc["embed"]["Dense_0"]["kernel"] = w_perm.T
+        if "encoder.embed.out.0.bias" in sd:
+            enc["embed"]["Dense_0"]["bias"] = sd["encoder.embed.out.0.bias"]
 
     # --- encoder blocks
     n_layers = len([k for k in enc if k.startswith("layer_")])

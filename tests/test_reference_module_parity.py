@@ -1,0 +1,181 @@
+"""Numerical parity against the reference's torch MODULES (CPU):
+attention, convolution module, FFN, and the full conformer encoder with
+rel-pos MHA — weights converted via tools/convert_checkpoint.
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def ref():
+    wh = types.ModuleType("whisper")
+    wt = types.ModuleType("whisper.tokenizer")
+    wt.LANGUAGES = {"en": "english"}
+    wh.tokenizer = wt
+    sys.modules.setdefault("whisper", wh)
+    sys.modules.setdefault("whisper.tokenizer", wt)
+    for name in ("torchaudio", "torchaudio.compliance",
+                 "torchaudio.compliance.kaldi", "langid", "sentencepiece",
+                 "nvtx"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    dec = types.ModuleType("wenet.transformer.decoder")
+
+    class _D:  # the release is missing decoder.py; CTC-side code unaffected
+        pass
+
+    dec.LanguageSpecificTransformerDecoder = _D
+    dec.TransformerDecoder = _D
+    dec.BiTransformerDecoder = _D
+    sys.modules.setdefault("wenet.transformer.decoder", dec)
+    # the reference's squeezeformer/conv2d.py re-exports typing names from
+    # torch.nn.modules.conv, which newer torch no longer exposes
+    import typing
+
+    import torch
+    import torch.nn.modules.conv as _tc
+
+    for nm, val in (("Union", typing.Union), ("Optional", typing.Optional),
+                    ("Tensor", torch.Tensor)):
+        if not hasattr(_tc, nm):
+            setattr(_tc, nm, val)
+    # rwkv_v7 is missing from the release (SURVEY.md "release gaps")
+    r7 = types.ModuleType("wenet.rwkv_v7")
+    r7.__path__ = []  # mark as package
+    r7w = types.ModuleType("wenet.rwkv_v7.rwkv_v7_wrapper_v6")
+
+    class _W:
+        pass
+
+    r7w.RWKV_TmixWrapper = _W
+    sys.modules.setdefault("wenet.rwkv_v7", r7)
+    sys.modules.setdefault("wenet.rwkv_v7.rwkv_v7_wrapper_v6", r7w)
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    return True
+
+
+def test_rel_attention_module_parity(ref):
+    import torch
+
+    from wenet.transformer.attention import (
+        RelPositionMultiHeadedAttention as RefAttn,
+    )
+
+    from paper_accurate_fast_cheap_tpu.models.attention import (
+        RelPositionMultiHeadedAttention as OurAttn,
+    )
+
+    torch.manual_seed(0)
+    H, D, T, B = 2, 16, 12, 2
+    ref_mod = RefAttn(H, D, 0.0).eval()
+    x = torch.randn(B, T, D)
+    pos = torch.randn(1, T, D)
+    mask = torch.ones(B, 1, T, dtype=torch.bool)
+    mask[1, 0, 8:] = False
+    with torch.no_grad():
+        want, _ = ref_mod(x, x, x, mask, pos)
+
+    our = OurAttn(heads=H, d_model=D, dropout_rate=0.0)
+    params = our.init(jax.random.PRNGKey(0), jnp.asarray(x.numpy()),
+                      jnp.asarray(x.numpy()),
+                      jnp.asarray(mask.numpy()), jnp.asarray(pos.numpy()))
+    sd = {k: v.numpy() for k, v in ref_mod.state_dict().items()}
+    p = jax.tree.map(np.asarray, params)["params"]
+    for ours, theirs in (("linear_q", "linear_q"), ("linear_k", "linear_k"),
+                         ("linear_v", "linear_v"),
+                         ("linear_out", "linear_out"),
+                         ("linear_pos", "linear_pos")):
+        p[ours]["kernel"] = sd[theirs + ".weight"].T
+        if theirs + ".bias" in sd and "bias" in p[ours]:
+            p[ours]["bias"] = sd[theirs + ".bias"]
+    p["pos_bias_u"] = sd["pos_bias_u"]
+    p["pos_bias_v"] = sd["pos_bias_v"]
+    got = our.apply({"params": p}, jnp.asarray(x.numpy()),
+                    jnp.asarray(x.numpy()), jnp.asarray(mask.numpy()),
+                    jnp.asarray(pos.numpy()))
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :8], want.numpy()[:, :8], rtol=2e-4, atol=2e-4
+    )
+
+
+def test_full_conformer_encoder_parity(ref):
+    """Reference ConformerEncoder (rel_selfattn, 2 blocks) vs ours with
+    converted weights: same features -> same encoder outputs."""
+    import torch
+
+    from wenet.transformer.encoder import ConformerEncoder as RefEnc
+
+    from paper_accurate_fast_cheap_tpu.models.conformer import (
+        ConformerEncoder as OurEnc,
+    )
+    from paper_accurate_fast_cheap_tpu.tools.convert_checkpoint import (
+        convert_state_dict,
+    )
+
+    torch.manual_seed(1)
+    mels, D = 23, 32
+    ref_enc = RefEnc(
+        input_size=mels, output_size=D, attention_heads=2,
+        linear_units=64, num_blocks=2, dropout_rate=0.0,
+        positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+        input_layer="conv2d", pos_enc_layer_type="rel_pos",
+        normalize_before=True, cnn_module_kernel=15,
+        use_cnn_module=True, cnn_module_norm="layer_norm",
+        selfattention_layer_type="rel_selfattn",
+    ).eval()
+    B, T = 2, 60
+    feats = torch.randn(B, T, mels)
+    lens = torch.tensor([60, 45])
+    with torch.no_grad():
+        want, want_mask = ref_enc(feats, lens)
+
+    our_enc = OurEnc(
+        input_size=mels, output_size=D, attention_heads=2,
+        linear_units=64, num_blocks=2, dropout_rate=0.0,
+        positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+        input_layer="conv2d", pos_enc_layer_type="rel_pos",
+        cnn_module_kernel=15, cnn_module_norm="layer_norm",
+        selfattention_layer_type="rel_selfattn",
+    )
+    jf = jnp.asarray(feats.numpy())
+    jl = jnp.asarray(lens.numpy())
+    params = our_enc.init(jax.random.PRNGKey(0), jf, jl)
+    sd = {"encoder." + k: v.numpy() for k, v in
+          ref_enc.state_dict().items()}
+    wrapped = {"params": {"encoder": jax.tree.map(
+        np.asarray, params)["params"]}}
+    new = convert_state_dict(sd, wrapped)
+    # MHA layer weights are not covered by the rwkv-focused converter: map
+    # the per-layer self_attn linears here
+    p = new["params"]["encoder"]
+    for i in range(2):
+        att = {k: v for k, v in p.items()}
+        src = f"encoder.encoders.{i}.self_attn."
+        dst = p[f"MultiHeadedAttention_{i}"] \
+            if f"MultiHeadedAttention_{i}" in p else \
+            p[f"RelPositionMultiHeadedAttention_{i}"]
+        for lin in ("linear_q", "linear_k", "linear_v", "linear_out",
+                    "linear_pos"):
+            dst[lin]["kernel"] = sd[src + lin + ".weight"].T
+            if src + lin + ".bias" in sd and "bias" in dst[lin]:
+                dst[lin]["bias"] = sd[src + lin + ".bias"]
+        dst["pos_bias_u"] = sd[src + "pos_bias_u"]
+        dst["pos_bias_v"] = sd[src + "pos_bias_v"]
+    got, got_lens = our_enc.apply({"params": p}, jf, jl)
+    n0 = int(want_mask[0].sum())
+    n1 = int(want_mask[1].sum())
+    assert int(got_lens[0]) == n0 and int(got_lens[1]) == n1
+    np.testing.assert_allclose(
+        np.asarray(got)[0, :n0], want.numpy()[0, :n0],
+        rtol=3e-4, atol=3e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got)[1, :n1], want.numpy()[1, :n1],
+        rtol=3e-4, atol=3e-4,
+    )
