@@ -179,3 +179,76 @@ def test_full_conformer_encoder_parity(ref):
         np.asarray(got)[1, :n1], want.numpy()[1, :n1],
         rtol=3e-4, atol=3e-4,
     )
+
+
+def test_rnn_predictor_parity(ref):
+    """Reference RNNPredictor (torch LSTM) vs ours with converted weights."""
+    import torch
+
+    from wenet.transducer.predictor import RNNPredictor as RefPred
+
+    from paper_accurate_fast_cheap_tpu.models.predictor import RNNPredictor
+
+    torch.manual_seed(3)
+    V, E, Hs, O, L = 11, 12, 12, 10, 2
+    ref_mod = RefPred(voca_size=V, embed_size=E, output_size=O,
+                      embed_dropout=0.0, hidden_size=Hs, num_layers=L,
+                      bias=True, rnn_type="lstm", dropout=0.0).eval()
+    ys = torch.randint(0, V, (2, 7))
+    with torch.no_grad():
+        want = ref_mod(ys)
+
+    ours = RNNPredictor(vocab_size=V, embed_size=E, hidden_size=Hs,
+                        output_size=O, num_layers=L, embed_dropout=0.0,
+                        dropout=0.0)
+    jys = jnp.asarray(ys.numpy())
+    params = ours.init(jax.random.PRNGKey(0), jys)
+    sd = {k: v.numpy() for k, v in ref_mod.state_dict().items()}
+    p = jax.tree.map(np.asarray, params)["params"]
+    p["embed"]["embedding"] = sd["embed.weight"]
+    for l in range(L):
+        p[f"lstm_{l}"]["ih"]["kernel"] = sd[f"rnn.weight_ih_l{l}"].T
+        p[f"lstm_{l}"]["ih"]["bias"] = (sd[f"rnn.bias_ih_l{l}"]
+                                        + sd[f"rnn.bias_hh_l{l}"])
+        p[f"lstm_{l}"]["hh"] = sd[f"rnn.weight_hh_l{l}"].T
+    p["projection"]["kernel"] = sd["projection.weight"].T
+    p["projection"]["bias"] = sd["projection.bias"]
+    got = ours.apply({"params": p}, jys)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_transducer_joint_parity(ref):
+    import torch
+
+    from wenet.transducer.joint import TransducerJoint as RefJoint
+
+    from paper_accurate_fast_cheap_tpu.models.joint import TransducerJoint
+
+    torch.manual_seed(4)
+    V, De, Dp, J = 9, 12, 10, 14
+    ref_mod = RefJoint(vocab_size=V, enc_output_size=De,
+                       pred_output_size=Dp, join_dim=J,
+                       prejoin_linear=True, postjoin_linear=False,
+                       joint_mode="add", activation="tanh",
+                       dropout_rate=0.0).eval()
+    enc = torch.randn(2, 5, De)
+    pred = torch.randn(2, 3, Dp)
+    with torch.no_grad():
+        want = ref_mod(enc, pred)
+
+    ours = TransducerJoint(vocab_size=V, enc_output_size=De,
+                           pred_output_size=Dp, join_dim=J)
+    je, jp = jnp.asarray(enc.numpy()), jnp.asarray(pred.numpy())
+    params = ours.init(jax.random.PRNGKey(0), je, jp)
+    sd = {k: v.numpy() for k, v in ref_mod.state_dict().items()}
+    p = jax.tree.map(np.asarray, params)["params"]
+    for ours_n, theirs_n in (("enc_ffn", "enc_ffn"),
+                             ("pred_ffn", "pred_ffn"),
+                             ("ffn_out", "ffn_out")):
+        p[ours_n]["kernel"] = sd[theirs_n + ".weight"].T
+        if theirs_n + ".bias" in sd:
+            p[ours_n]["bias"] = sd[theirs_n + ".bias"]
+    got = ours.apply({"params": p}, je, jp)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               rtol=2e-4, atol=2e-4)
