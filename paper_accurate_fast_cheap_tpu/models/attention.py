@@ -65,13 +65,35 @@ class MultiHeadedAttention(nn.Module):
         B, Tq = out.shape[:2]
         return self.linear_out(out.reshape(B, Tq, self.d_model))
 
+    def _with_cache(self, k, v, mask, cache):
+        """Prepend a fixed-size KV cache (`attention.py:190-198` protocol,
+        fixed-shape for jit): cache = {"k","v","valid"}; returns extended
+        (k, v, key-mask, new_cache)."""
+        B = k.shape[0]
+        T = k.shape[1]
+        k = jnp.concatenate([cache["k"].astype(k.dtype), k], axis=1)
+        v = jnp.concatenate([cache["v"].astype(v.dtype), v], axis=1)
+        valid = jnp.concatenate(
+            [cache["valid"], jnp.ones((B, T), bool)], axis=1)
+        Tc = cache["k"].shape[1]
+        new_cache = {"k": k[:, -Tc:], "v": v[:, -Tc:],
+                     "valid": valid[:, -Tc:]}
+        return k, v, valid[:, None, :], new_cache
+
     def __call__(self, x_q, x_kv, mask=None, pos_emb=None, *,
-                 deterministic: bool = True):
+                 deterministic: bool = True, cache=None,
+                 return_cache: bool = False):
         q, k, v = self._qkv(x_q, x_kv)
+        new_cache = None
+        if cache is not None:
+            k, v, mask, new_cache = self._with_cache(k, v, mask, cache)
         scores = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(
             jnp.asarray(self.d_k, jnp.float32)
         ).astype(q.dtype)
-        return self._attend(scores, v, mask, deterministic)
+        out = self._attend(scores, v, mask, deterministic)
+        if return_cache:
+            return out, new_cache
+        return out
 
 
 class ESPnetRelPositionMultiHeadedAttention(MultiHeadedAttention):
@@ -137,16 +159,24 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
         )
 
     def __call__(self, x_q, x_kv, mask=None, pos_emb=None, *,
-                 deterministic: bool = True):
+                 deterministic: bool = True, cache=None,
+                 return_cache: bool = False):
         assert pos_emb is not None, "rel_pos attention needs pos_emb"
         q, k, v = self._qkv(x_q, x_kv)
+        new_cache = None
+        if cache is not None:
+            # pos_emb must cover cache + current key positions
+            k, v, mask, new_cache = self._with_cache(k, v, mask, cache)
         Np = pos_emb.shape[1]
         p = self.linear_pos(pos_emb).reshape(-1, Np, self.heads, self.d_k)
         q_u = q + self.pos_bias_u[None, None]
         q_v = q + self.pos_bias_v[None, None]
         matrix_ac = jnp.einsum("bthd,bshd->bhts", q_u, k)
         matrix_bd = jnp.einsum("bthd,nshd->bhts", q_v, p)
-        scores = (matrix_ac + matrix_bd) / jnp.sqrt(
+        scores = (matrix_ac + matrix_bd[..., : k.shape[1]]) / jnp.sqrt(
             jnp.asarray(self.d_k, jnp.float32)
         ).astype(q.dtype)
-        return self._attend(scores, v, mask, deterministic)
+        out = self._attend(scores, v, mask, deterministic)
+        if return_cache:
+            return out, new_cache
+        return out

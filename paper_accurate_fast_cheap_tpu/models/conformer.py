@@ -172,11 +172,14 @@ class ConformerEncoderLayer(nn.Module):
                                    deterministic=deterministic)
         else:
             if return_state:
-                raise NotImplementedError(
-                    "streaming state only implemented for RWKV attention"
+                y, new_state["attn"] = self.self_attn(
+                    y, y, att_mask, pos_emb,
+                    deterministic=deterministic, cache=att_state,
+                    return_cache=True,
                 )
-            y = self.self_attn(y, y, att_mask, pos_emb,
-                               deterministic=deterministic)
+            else:
+                y = self.self_attn(y, y, att_mask, pos_emb,
+                                   deterministic=deterministic)
         x = res + drop(y)
 
         if self.use_cnn_module:
@@ -288,6 +291,7 @@ class ConformerEncoder(nn.Module):
         streaming_state=None,
         return_state: bool = False,
         offset: int = 0,
+        att_cache_size: int = 0,
         cat_embs=None,
     ):
         rwkv_conf = dict(self.rwkv_conf or {})
@@ -305,9 +309,36 @@ class ConformerEncoder(nn.Module):
 
         if return_state:
             # streaming chunk path (`encoder.py:231-339` forward_chunk):
-            # the chunk is fully valid; recurrent state replaces masks
+            # the chunk is fully valid; recurrent state or a fixed-size KV
+            # cache replaces masks
             layer_states = (streaming_state or {}).get("layers")
             new_states = []
+            is_mha = self.selfattention_layer_type in ("selfattn",
+                                                       "rel_selfattn")
+            if is_mha:
+                Tc = int(att_cache_size)
+                T_chunk = xs.shape[1]
+                B = xs.shape[0]
+                d = self.output_size
+                if layer_states is None:
+                    zero = {
+                        "k": jnp.zeros((B, Tc, self.attention_heads,
+                                        d // self.attention_heads)),
+                        "v": jnp.zeros((B, Tc, self.attention_heads,
+                                        d // self.attention_heads)),
+                        "valid": jnp.zeros((B, Tc), bool),
+                    }
+                    layer_states = [{"attn": dict(zero), "conv": None}
+                                    for _ in range(self.num_blocks)]
+                # key positions offset-Tc .. offset+T (zeros for t < 0)
+                table = jnp.asarray(emb_mod.sinusoid_table(
+                    EMB_CLASSES[self.pos_enc_layer_type].max_len
+                    if hasattr(EMB_CLASSES[self.pos_enc_layer_type],
+                               "max_len") else 100000, d))
+                table = jnp.concatenate(
+                    [jnp.zeros((Tc, d), table.dtype), table], axis=0)
+                pos_emb = jax.lax.dynamic_slice_in_dim(
+                    table, offset, Tc + T_chunk, axis=0)[None]
             for i in range(self.num_blocks):
                 attn = _make_attention(
                     self.selfattention_layer_type, self.attention_heads,

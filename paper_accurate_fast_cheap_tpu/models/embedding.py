@@ -30,17 +30,19 @@ def sinusoid_table(max_len: int, d_model: int) -> np.ndarray:
 
 
 class PositionalEncoding(nn.Module):
-    """Absolute sinusoidal encoding: returns (x * sqrt(d) + PE, PE)."""
+    """Absolute sinusoidal encoding: returns (x * sqrt(d) + PE, PE).
+
+    ``offset`` may be a python int or a traced scalar (streaming chunks)."""
 
     d_model: int
     dropout_rate: float = 0.1
     max_len: int = 5000
 
     @nn.compact
-    def __call__(self, x, offset: int = 0, deterministic: bool = True):
+    def __call__(self, x, offset=0, deterministic: bool = True):
         T = x.shape[1]
         pe = jnp.asarray(sinusoid_table(self.max_len, self.d_model))
-        pos = pe[None, offset : offset + T]
+        pos = jax.lax.dynamic_slice_in_dim(pe, offset, T, axis=0)[None]
         y = x * jnp.sqrt(jnp.asarray(self.d_model, x.dtype)) + pos
         y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
         pos = nn.Dropout(self.dropout_rate)(pos, deterministic=deterministic)
@@ -55,10 +57,10 @@ class RelPositionalEncoding(nn.Module):
     max_len: int = 100000  # reference uses 100k for long-form
 
     @nn.compact
-    def __call__(self, x, offset: int = 0, deterministic: bool = True):
+    def __call__(self, x, offset=0, deterministic: bool = True):
         T = x.shape[1]
         pe = jnp.asarray(sinusoid_table(self.max_len, self.d_model))
-        pos = pe[None, offset : offset + T]
+        pos = jax.lax.dynamic_slice_in_dim(pe, offset, T, axis=0)[None]
         y = x * jnp.sqrt(jnp.asarray(self.d_model, x.dtype))
         y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
         pos = nn.Dropout(self.dropout_rate)(pos, deterministic=deterministic)

@@ -70,3 +70,38 @@ def test_streaming_chunk_size_invariance():
     np.testing.assert_allclose(np.asarray(ys8)[0, :n],
                                np.asarray(ys4)[0, :n],
                                rtol=5e-4, atol=5e-4)
+
+
+def test_mha_streaming_kv_cache_matches_chunked_forward():
+    """MHA streaming with a fixed KV cache == full forward under the
+    equivalent chunk mask (decoding_chunk_size + num_left_chunks)."""
+    enc = ConformerEncoder(
+        input_size=16, output_size=32, attention_heads=2, linear_units=64,
+        num_blocks=2, selfattention_layer_type="rel_selfattn",
+        dropout_rate=0.0, positional_dropout_rate=0.0, causal=True,
+        input_layer="conv2d",
+    )
+    C_out, n_left = 8, 2
+    Tc = C_out * n_left
+    T = 135
+    feats = jax.random.normal(jax.random.PRNGKey(7), (1, T, 16))
+    lens = jnp.asarray([T])
+    params = enc.init(jax.random.PRNGKey(8), feats, lens)
+    full, full_lens = enc.apply(
+        params, feats, lens, decoding_chunk_size=C_out,
+        num_decoding_left_chunks=n_left,
+    )
+
+    def encoder_apply(xs, xs_lens, state, offset):
+        return enc.apply(params, xs, xs_lens, streaming_state=state,
+                         return_state=True, offset=offset,
+                         att_cache_size=Tc)
+
+    ys, out_lens = streaming.forward_chunk_by_chunk(
+        encoder_apply, feats, decoding_chunk_size=C_out)
+    n = min(int(out_lens[0]), int(full_lens[0]))
+    assert n > C_out
+    np.testing.assert_allclose(
+        np.asarray(ys)[0, :n], np.asarray(full)[0, :n],
+        rtol=5e-4, atol=5e-4,
+    )
