@@ -131,6 +131,59 @@ class WhisperModel(nn.Module):
                                                self.ignore_id)}
 
 
+def whisper_greedy_decode(
+    model: "WhisperModel",
+    params,
+    mel: jax.Array,
+    mel_lens: jax.Array,
+    sot_sequence,
+    eot_id: int,
+    max_len: int = 128,
+    suppress_blank_first: bool = True,
+):
+    """AR greedy decode with the whisper special-token protocol:
+    prefix = sot_sequence (e.g. [<|sot|>, <|en|>, <|transcribe|>,
+    <|notimestamps|>]), stop at <|eot|>.  Host loop over a jitted
+    last-position step (the reference exposes whisper through the same
+    decode surfaces, `wenet/whisper/whisper.py`)."""
+    import numpy as np
+
+    B = mel.shape[0]
+    enc, enc_lens = model.apply(params, mel, mel_lens,
+                                method=lambda m, a, b: m.encoder(a, b))
+
+    @jax.jit
+    def step(ys, ys_lens):
+        logits = model.apply(params, enc, enc_lens, ys, ys_lens,
+                             method=model.decode_logits)
+        last = jnp.take_along_axis(
+            logits, (ys_lens - 1)[:, None, None], axis=1)[:, 0]
+        return last
+
+    sot = list(sot_sequence)
+    ys = np.full((B, max_len), eot_id, np.int32)
+    ys[:, : len(sot)] = sot
+    lens = np.full((B,), len(sot), np.int32)
+    done = np.zeros((B,), bool)
+    for u in range(len(sot), max_len):
+        last = np.asarray(step(jnp.asarray(ys), jnp.asarray(lens)))
+        nxt = last.argmax(axis=-1)
+        for b in range(B):
+            if done[b]:
+                continue
+            tok = int(nxt[b])
+            if tok == eot_id:
+                done[b] = True
+                continue
+            ys[b, u] = tok
+            lens[b] += 1
+        if done.all():
+            break
+    return [
+        [int(t) for t in ys[b, len(sot) : lens[b]]] for b in range(B)
+    ]
+
+
 def load_hf_whisper_params(hf_state: Dict[str, np.ndarray],
                            model: WhisperModel, params):
     """Map a transformers WhisperForConditionalGeneration state_dict (numpy)

@@ -77,3 +77,45 @@ def test_k2_fallback():
     logp[0, :, 0] = np.log(0.7)
     res = k2_model.hlg_onebest(logp, np.asarray([5]))
     assert isinstance(res[0].tokens, list)
+
+
+def test_whisper_greedy_decode():
+    """Overfit the tiny whisper model on one (mel, text) pair; AR decode
+    with the special-token protocol reproduces the target."""
+    import optax
+
+    from paper_accurate_fast_cheap_tpu.models.whisper import (
+        WhisperModel,
+        whisper_greedy_decode,
+    )
+
+    sot, eot = 1, 2
+    model = WhisperModel(vocab_size=20, n_mels=16, d_model=32, heads=2,
+                         encoder_blocks=1, decoder_blocks=1,
+                         max_target_positions=12)
+    mel = jax.random.normal(jax.random.PRNGKey(0), (1, 30, 16))
+    mel_lens = jnp.asarray([30])
+    target = [5, 7, 9]
+    ys_in = jnp.asarray([[sot] + target], jnp.int32)
+    ys_out = jnp.asarray([target + [eot]], jnp.int32)
+    ys_lens = jnp.asarray([4])
+    params = model.init(jax.random.PRNGKey(1), mel, mel_lens, ys_in,
+                        ys_out, ys_lens)
+    opt = optax.adam(3e-3)
+    ost = opt.init(params)
+
+    @jax.jit
+    def step(p, ost):
+        def loss(p):
+            return model.apply(p, mel, mel_lens, ys_in, ys_out,
+                               ys_lens)["loss"]
+        g = jax.grad(loss)(p)
+        up, ost = opt.update(g, ost)
+        return optax.apply_updates(p, up), ost
+
+    for _ in range(150):
+        params, ost = step(params, ost)
+    hyps = whisper_greedy_decode(model, params, mel, mel_lens,
+                                 sot_sequence=[sot], eot_id=eot,
+                                 max_len=10)
+    assert hyps[0] == target
