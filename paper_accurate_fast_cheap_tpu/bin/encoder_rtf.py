@@ -118,12 +118,18 @@ def run_once(args, batch, chunk, output=None):
     rtf = elapsed / audio_seconds
     minutes_per_sec = (audio_seconds / 60.0) / elapsed
     max_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    from paper_accurate_fast_cheap_tpu.utils.profiling import (
+        device_memory_stats,
+    )
+
+    dev_mb = device_memory_stats().get("peak_bytes_in_use_mb", 0.0)
     lines = [
         f"final_rtf {rtf:.8f}",
         f"minutes_audio_per_sec {minutes_per_sec:.3f}",
         f"batch {B} chunk {T} iters {args.iters}",
         f"warmup_plus_compile_s {compile_s:.2f}",
         f"max_cpu_ram_mb {max_rss_mb:.1f}",
+        f"max_vram_mb {dev_mb:.1f}",
         f"device {jax.devices()[0]}",
     ]
     report = "\n".join(lines)

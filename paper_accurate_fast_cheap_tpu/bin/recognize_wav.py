@@ -161,6 +161,15 @@ def main(argv=None):
     with open(os.path.join(args.output_dir, name + ".rtf"), "w") as f:
         f.write(f"final_rtf {rtf:.6f} elapsed {elapsed:.3f} "
                 f"audio_seconds {audio_seconds:.2f}\n")
+    # device-memory log (`recognize_wav2.py:44-95` GpuMemoryMonitor role)
+    from paper_accurate_fast_cheap_tpu.utils.profiling import (
+        device_memory_stats,
+    )
+
+    stats = device_memory_stats()
+    with open(os.path.join(args.output_dir, name + ".vram"), "w") as f:
+        for k2, v2 in stats.items():
+            f.write(f"{k2} {v2:.1f}\n")
     logging.info("decoded %s: %.1fs audio in %.2fs (RTF %.4f)", name,
                  audio_seconds, elapsed, rtf)
     return 0

@@ -184,7 +184,8 @@ def load_spm(model_path: str):
         sp = spm.SentencePieceProcessor()
         sp.load(model_path)
         return sp
-    except ImportError:
+    except (ImportError, AttributeError):
+        # AttributeError covers stub/namespace modules without the real API
         return SentencePieceLike(model_path)
 
 
