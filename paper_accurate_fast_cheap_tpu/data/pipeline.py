@@ -322,13 +322,15 @@ def static_batch(samples, batch_size: int = 16):
 
 
 def dynamic_batch(samples, max_frames_in_batch: int = 12000,
-                  max_words_in_batch: int = 0):
+                  max_words_in_batch: int = 0,
+                  one_utt_per_job: bool = False):
     """Frame-budget batching (`processor.py:767-783` DynamicBatchWindow) with
-    the optional word cap of the `distribute` batch type
-    (`datapipes.py:207-331`)."""
+    the optional word cap and one-utt-per-job dedup of the `distribute`
+    batch type (`datapipes.py:207-331`)."""
     buf = []
     longest = 0
     words = 0
+    jobs = set()
     for s in samples:
         frames = compute_num_frames(len(s["wav"]), s["sample_rate"])
         w = len(s.get("txt", "").split())
@@ -336,13 +338,16 @@ def dynamic_batch(samples, max_frames_in_batch: int = 12000,
         over_frames = longest_new * (len(buf) + 1) > max_frames_in_batch
         over_words = max_words_in_batch > 0 and \
             (words + w) > max_words_in_batch
-        if buf and (over_frames or over_words):
+        dup_job = one_utt_per_job and s.get("job") in jobs
+        if buf and (over_frames or over_words or dup_job):
             yield buf
             buf, longest, words = [s], frames, w
+            jobs = {s.get("job")}
         else:
             buf.append(s)
             longest = longest_new
             words += w
+            jobs.add(s.get("job"))
     if buf:
         yield buf
 
@@ -448,7 +453,9 @@ def build_dataset(
     elif btype in ("dynamic", "distribute"):
         batches = dynamic_batch(
             stream, bc.get("max_frames_in_batch", 12000),
-            bc.get("max_words_in_batch", 0))
+            bc.get("max_words_in_batch", 0),
+            one_utt_per_job=(btype == "distribute"
+                             and bc.get("one_utt_per_job", False)))
     else:
         raise ValueError(f"unknown batch_type {btype!r}")
     for b in batches:

@@ -113,6 +113,9 @@ class Executor:
             cv_loss = self.cv(state.params, cv_batches())
             info["cv_loss"] = float(cv_loss)
             log.info("step %d cv_loss %.4f", self.step, cv_loss)
+            if self.metrics_logger is not None:
+                self.metrics_logger.log(self.step, {"loss": cv_loss},
+                                        prefix="cv")
         self.snapshots_saved += 1
         forced = self.model_dir and checkpointing.\
             check_forced_full_snapshot_flag(self.model_dir)

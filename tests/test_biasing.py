@@ -116,3 +116,19 @@ def test_dynamic_batch_word_cap():
     assert all(sum(len(s["txt"].split()) for s in b) <= 7 or len(b) == 1
                for b in batches)
     assert len(batches) > 1
+
+
+def test_dynamic_batch_one_utt_per_job():
+    from paper_accurate_fast_cheap_tpu.data import pipeline as pl
+
+    samples = [
+        {"key": f"u{i}", "wav": np.zeros(1600), "sample_rate": 16000,
+         "label": np.asarray([1]), "txt": "x", "job": f"j{i % 2}"}
+        for i in range(6)
+    ]
+    batches = list(pl.dynamic_batch(iter(samples),
+                                    max_frames_in_batch=10**9,
+                                    one_utt_per_job=True))
+    for b in batches:
+        jobs = [s["job"] for s in b]
+        assert len(jobs) == len(set(jobs))
