@@ -147,8 +147,243 @@ def rnnt_beam_search(
     blank_id: int = 0,
     ctc_weight: float = 0.3,
     transducer_weight: float = 0.7,
+    impl: str = "device",
 ) -> List[DecodeResult]:
-    """Batched prefix beam search with CTC shallow fusion."""
+    """Batched prefix beam search with CTC shallow fusion.
+
+    ``impl='device'`` (default) runs the whole search as one jitted
+    `lax.scan` over frames — fixed beam, hash-keyed prefix merge — host
+    touches only the final token arrays.  ``impl='host'`` is the reference
+    -faithful per-frame host loop kept as the parity oracle.  Both reproduce
+    `prefix_beam_search.py:428-574` exactly: candidates are walked in
+    descending score order, duplicate prefixes log-add into the earlier
+    occurrence, and the walk stops once `beam_size` distinct prefixes exist
+    (later duplicates are dropped, not merged).
+    """
+    if impl == "device":
+        return _rnnt_beam_search_device(
+            predictor_step, joint_step, init_state_fn, enc_out, enc_lens,
+            ctc_probs, beam_size, blank_id, ctc_weight, transducer_weight,
+        )
+    return _rnnt_beam_search_host(
+        predictor_step, joint_step, init_state_fn, enc_out, enc_lens,
+        ctc_probs, beam_size, blank_id, ctc_weight, transducer_weight,
+    )
+
+
+def _select_rows(mask_bn: jax.Array, new, old):
+    """Per-(flat beam) select honoring the predictor state convention:
+    leaves (n, ...) for ndim <= 2, (L, n, ...) for ndim >= 3."""
+    if new.ndim >= 3:
+        m = mask_bn.reshape((1, -1) + (1,) * (new.ndim - 2))
+    elif new.ndim == 2:
+        m = mask_bn[:, None]
+    else:
+        m = mask_bn
+    return jnp.where(m, new, old)
+
+
+def _gather_state(state, sel):
+    """Gather predictor-state beams by flat index (same convention)."""
+    return jax.tree.map(
+        lambda s: jnp.take(s, sel, axis=1) if s.ndim >= 3
+        else (jnp.take(s, sel, axis=0) if s.ndim >= 1 else s),
+        state,
+    )
+
+
+def _rnnt_beam_search_device(
+    predictor_step, joint_step, init_state_fn, enc_out, enc_lens,
+    ctc_probs, beam_size, blank_id, ctc_weight, transducer_weight,
+) -> List[DecodeResult]:
+    """Fully on-device prefix beam search (one jitted scan over frames).
+
+    Prefix identity is tracked with two incremental 32-bit polynomial
+    hashes + prefix length (collision odds over <=N^2 candidates/frame are
+    negligible), so the duplicate-merge needs only an (N^2 x N^2) scalar
+    equality matrix per utterance instead of token-array compares.
+    """
+    enc_out = jnp.asarray(enc_out)
+    ctc_probs = jnp.asarray(ctc_probs)
+    B, T, _ = enc_out.shape
+    N = beam_size
+    NK = N * N
+    L = T  # <=1 emission per frame
+    NEG = jnp.float32(-jnp.inf)
+    P1 = jnp.uint32(2654435761)
+    P2 = jnp.uint32(2246822519)
+    log_tw = (float(np.log(transducer_weight))
+              if transducer_weight > 0 else -np.inf)
+    log_cw = float(np.log(ctc_weight)) if ctc_weight > 0 else -np.inf
+    lens_dev = jnp.asarray(enc_lens, jnp.int32)
+
+    state_init = init_state_fn(B * N)
+    tok0 = jnp.full((B * N,), blank_id, jnp.int32)
+    # carry holds the state AFTER consuming each beam's last token (here the
+    # leading blank), so emissions step the predictor from the right state
+    pred0, state0 = predictor_step(tok0, state_init)
+
+    carry0 = dict(
+        hyps=jnp.zeros((B, N, L), jnp.int32),
+        hyp_len=jnp.zeros((B, N), jnp.int32),
+        scores=jnp.full((B, N), -jnp.inf).at[:, 0].set(0.0),
+        h1=jnp.zeros((B, N), jnp.uint32),
+        h2=jnp.zeros((B, N), jnp.uint32),
+        last=jnp.full((B, N), blank_id, jnp.int32),
+        pred_out=pred0,
+        state=state0,
+    )
+
+    jidx = jnp.arange(NK)
+
+    def step(carry, xs):
+        enc_t, ctc_t, t = xs          # (B, De), (B, V), scalar
+        active = t < lens_dev          # (B,)
+
+        enc_rep = jnp.repeat(enc_t, N, axis=0)          # (B*N, De)
+        logp = joint_step(enc_rep, carry["pred_out"])   # (B*N, V)
+        fused = jnp.logaddexp(
+            log_tw + logp, log_cw + jnp.repeat(ctc_t, N, axis=0)
+        ).reshape(B, N, -1)
+
+        vals, toks = jax.lax.top_k(fused, N)            # (B, N, N)
+        c_score = (carry["scores"][:, :, None] + vals).reshape(B, NK)
+        c_src = jnp.broadcast_to(
+            jnp.arange(N, dtype=jnp.int32)[:, None], (N, N)
+        ).reshape(NK)
+        c_src = jnp.broadcast_to(c_src, (B, NK))
+        c_tok = toks.reshape(B, NK).astype(jnp.int32)
+        c_adv = c_tok != blank_id
+        tk = (c_tok + 1).astype(jnp.uint32)
+        src_h1 = jnp.take_along_axis(carry["h1"], c_src, axis=1)
+        src_h2 = jnp.take_along_axis(carry["h2"], c_src, axis=1)
+        src_len = jnp.take_along_axis(carry["hyp_len"], c_src, axis=1)
+        c_h1 = jnp.where(c_adv, src_h1 * P1 + tk, src_h1)
+        c_h2 = jnp.where(c_adv, src_h2 * P2 + tk * P1, src_h2)
+        c_len = src_len + c_adv.astype(jnp.int32)
+
+        # walk candidates in descending score order
+        order = jnp.argsort(-c_score, axis=-1, stable=True)
+        s_score = jnp.take_along_axis(c_score, order, axis=1)
+        s_src = jnp.take_along_axis(c_src, order, axis=1)
+        s_tok = jnp.take_along_axis(c_tok, order, axis=1)
+        s_adv = jnp.take_along_axis(c_adv, order, axis=1)
+        s_h1 = jnp.take_along_axis(c_h1, order, axis=1)
+        s_h2 = jnp.take_along_axis(c_h2, order, axis=1)
+        s_len = jnp.take_along_axis(c_len, order, axis=1)
+
+        eq = (
+            (s_h1[:, :, None] == s_h1[:, None, :])
+            & (s_h2[:, :, None] == s_h2[:, None, :])
+            & (s_len[:, :, None] == s_len[:, None, :])
+        )                                               # (B, NK, NK)
+        eq_before = eq & (jidx[None, :] <= jidx[:, None])[None]
+        first_idx = jnp.argmax(eq_before, axis=-1)      # first equal pos
+        is_first = first_idx == jidx[None, :]
+        urank = jnp.cumsum(is_first.astype(jnp.int32), axis=-1)
+        reached = urank >= N
+        p_pos = jnp.where(
+            jnp.any(reached, axis=-1), jnp.argmax(reached, axis=-1), NK - 1
+        )                                               # (B,)
+        in_win = jidx[None, :] <= p_pos[:, None]        # (B, NK)
+        contrib = jnp.where(
+            eq & in_win[:, None, :], s_score[:, None, :], NEG
+        )
+        merged = jax.nn.logsumexp(contrib, axis=-1)     # (B, NK)
+        final = jnp.where(is_first & in_win, merged, NEG)
+
+        top_scores, top_pos = jax.lax.top_k(final, N)   # (B, N)
+        ok = top_scores > NEG
+        n_src = jnp.take_along_axis(s_src, top_pos, axis=1)
+        n_tok = jnp.take_along_axis(s_tok, top_pos, axis=1)
+        n_adv = jnp.take_along_axis(s_adv, top_pos, axis=1) & ok
+        n_h1 = jnp.take_along_axis(s_h1, top_pos, axis=1)
+        n_h2 = jnp.take_along_axis(s_h2, top_pos, axis=1)
+        n_len = jnp.take_along_axis(s_len, top_pos, axis=1)
+
+        hyps_g = jnp.take_along_axis(
+            carry["hyps"], n_src[:, :, None], axis=1
+        )                                               # (B, N, L)
+        write_pos = n_len - n_adv.astype(jnp.int32)
+        wmask = (
+            (jnp.arange(L)[None, None, :] == write_pos[:, :, None])
+            & n_adv[:, :, None]
+        )
+        new_hyps = jnp.where(wmask, n_tok[:, :, None], hyps_g)
+        last_g = jnp.take_along_axis(carry["last"], n_src, axis=1)
+        new_last = jnp.where(n_adv, n_tok, last_g)
+
+        # predictor reorder + step (advance only where a token was emitted)
+        sel = (jnp.arange(B, dtype=jnp.int32)[:, None] * N + n_src
+               ).reshape(-1)
+        adv_flat = n_adv.reshape(-1)
+        state_g = _gather_state(carry["state"], sel)
+        pred_g = jnp.take(carry["pred_out"], sel, axis=0)
+        cand_out, cand_state = predictor_step(new_last.reshape(-1), state_g)
+        pred_new = jnp.where(adv_flat[:, None], cand_out, pred_g)
+        state_new = jax.tree.map(
+            lambda nw, od: _select_rows(adv_flat, nw, od),
+            cand_state, state_g,
+        )
+
+        # frozen where the utterance already ended
+        am = active
+        amn = jnp.repeat(am, N)
+        new_carry = dict(
+            hyps=jnp.where(am[:, None, None], new_hyps, carry["hyps"]),
+            hyp_len=jnp.where(am[:, None], n_len, carry["hyp_len"]),
+            scores=jnp.where(am[:, None], top_scores, carry["scores"]),
+            h1=jnp.where(am[:, None], n_h1, carry["h1"]),
+            h2=jnp.where(am[:, None], n_h2, carry["h2"]),
+            last=jnp.where(am[:, None], new_last, carry["last"]),
+            pred_out=jnp.where(amn[:, None], pred_new, carry["pred_out"]),
+            state=jax.tree.map(
+                lambda nw, od: _select_rows(amn, nw, od),
+                state_new, carry["state"],
+            ),
+        )
+        return new_carry, None
+
+    xs = (
+        jnp.moveaxis(enc_out, 1, 0),
+        jnp.moveaxis(ctc_probs, 1, 0),
+        jnp.arange(T, dtype=jnp.int32),
+    )
+    run = jax.jit(lambda c, x: jax.lax.scan(step, c, x)[0])
+    out = run(carry0, xs)
+
+    hyps = np.asarray(out["hyps"])
+    hyp_len = np.asarray(out["hyp_len"])
+    scores = np.asarray(out["scores"])
+    results = []
+    for b in range(B):
+        nbest, nscores = [], []
+        for j in range(N):
+            if not np.isfinite(scores[b, j]):
+                continue
+            nbest.append([int(x) for x in hyps[b, j, : hyp_len[b, j]]])
+            nscores.append(float(scores[b, j]))
+        results.append(DecodeResult(
+            tokens=nbest[0] if nbest else [],
+            score=nscores[0] if nscores else 0.0,
+            nbest=nbest, nbest_scores=nscores,
+        ))
+    return results
+
+
+def _rnnt_beam_search_host(
+    predictor_step: Callable,
+    joint_step: Callable,
+    init_state_fn: Callable,    # (n) -> predictor state pytree
+    enc_out: jax.Array,         # (B, T, De)
+    enc_lens: jax.Array,
+    ctc_probs: jax.Array,       # (B, T, V) log-probs for fusion
+    beam_size: int = 8,
+    blank_id: int = 0,
+    ctc_weight: float = 0.3,
+    transducer_weight: float = 0.7,
+) -> List[DecodeResult]:
+    """Host-loop prefix beam search (parity oracle for the device impl)."""
     enc_out = jnp.asarray(enc_out)
     B, T, De = enc_out.shape
     N = beam_size
@@ -175,16 +410,12 @@ def rnnt_beam_search(
     def reorder_and_step(state, pred_out, sel, new_tokens, advance):
         """Gather beam entries by sel (B*N,), then predictor-step where
         advance (emitted a token)."""
-        state_g = jax.tree.map(
-            lambda s: jnp.take(s, sel, axis=1) if s.ndim >= 2 else s, state
-        )
+        state_g = _gather_state(state, sel)
         pred_g = jnp.take(pred_out, sel, axis=0)
         cand_out, cand_state = predictor_step(new_tokens, state_g)
         out = jnp.where(advance[:, None], cand_out, pred_g)
         st = jax.tree.map(
-            lambda new, old: jnp.where(
-                advance[None, :, None] if new.ndim == 3
-                else advance[:, None], new, old),
+            lambda new, old: _select_rows(advance, new, old),
             cand_state, state_g,
         )
         return out, st
@@ -205,31 +436,40 @@ def rnnt_beam_search(
             if t >= lens[b]:
                 sel[b * N : (b + 1) * N] = b * N + np.arange(N)
                 continue
-            cand = {}
+            # reference semantics (prefix_beam_search.py:516-566): per-beam
+            # top-K expansion, walk ALL candidates in descending score
+            # order, log-add duplicates into the earlier occurrence, stop
+            # once beam_size distinct prefixes exist.
+            cands = []  # (score, src, adv, tok, hyp)
             for j in range(N):
                 if hyps[b][j] is None:
                     continue
                 base = scores[b, j]
                 lp = fused[b * N + j]
-                top = np.argpartition(lp, -N)[-N:]
+                top = np.argsort(-lp)[:N]
                 for u in top:
                     s = base + lp[u]
                     if u == blank_id:
-                        key = (hyps[b][j], j, False)
-                        hyp_new = hyps[b][j]
-                        src, adv = j, False
+                        cands.append((s, j, False, int(u), hyps[b][j]))
                     else:
-                        hyp_new = hyps[b][j] + (int(u),)
-                        src, adv = j, True
-                    k = hyp_new
-                    if k in cand:
-                        cand[k] = (np.logaddexp(cand[k][0], s),) + cand[k][1:]
-                    else:
-                        cand[k] = (s, src, adv, int(u))
-            best = sorted(cand.items(), key=lambda kv: kv[1][0],
-                          reverse=True)[:N]
+                        cands.append(
+                            (s, j, True, int(u), hyps[b][j] + (int(u),))
+                        )
+            cands.sort(key=lambda c: -c[0])
+            best = []      # list of [hyp, score, src, adv, tok]
+            seen = {}
+            for s, src, adv, u, hyp in cands:
+                if hyp in seen:
+                    e = best[seen[hyp]]
+                    e[1] = np.logaddexp(e[1], s)
+                else:
+                    seen[hyp] = len(best)
+                    best.append([hyp, s, src, adv, u])
+                    if len(best) >= N:
+                        break
+            best.sort(key=lambda e: -e[1])
             new_hyps = [None] * N
-            for j, (hyp, (s, src, adv, u)) in enumerate(best):
+            for j, (hyp, s, src, adv, u) in enumerate(best):
                 new_hyps[j] = hyp
                 scores[b, j] = s
                 sel[b * N + j] = b * N + src

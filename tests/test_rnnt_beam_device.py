@@ -1,0 +1,163 @@
+"""On-device RNN-T prefix beam search: parity vs the host oracle and vs the
+reference's own `prefix_beam_search_decode_batch`
+(`/root/reference/wenet/transducer/search/prefix_beam_search.py:428-574`)
+on identical random posteriors with a shared recurrent predictor.
+"""
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paper_accurate_fast_cheap_tpu.decode import rnnt_search
+
+
+class _Setup:
+    """Random joint/predictor weights shared between jax and torch."""
+
+    def __init__(self, seed, B=3, T=12, V=9, H=8, De=4):
+        rng = np.random.RandomState(seed)
+        self.B, self.T, self.V, self.H, self.De = B, T, V, H, De
+        self.E = (rng.randn(V, H) * 0.5).astype(np.float32)
+        self.W = (rng.randn(H, H) * 0.3).astype(np.float32)
+        self.A = rng.randn(De, V).astype(np.float32)
+        self.Bm = rng.randn(H, V).astype(np.float32)
+        self.enc = rng.randn(B, T, De).astype(np.float32)
+        ctc = rng.randn(B, T, V).astype(np.float32) * 1.5
+        ctc = ctc - np.log(np.exp(ctc).sum(-1, keepdims=True))
+        self.ctc = ctc.astype(np.float32)
+        self.lens = np.asarray(
+            [max(1, T - 3 * i) for i in range(B)], np.int32
+        )
+
+    # jax side -----------------------------------------------------------
+    def jax_fns(self):
+        E, W, A, Bm = map(jnp.asarray, (self.E, self.W, self.A, self.Bm))
+
+        def predictor_step(tokens, state):
+            s = jnp.tanh(state @ W + E[tokens])
+            return s, s
+
+        def joint_step(enc_t, pred):
+            return jax.nn.log_softmax(enc_t @ A + pred @ Bm)
+
+        return predictor_step, joint_step, lambda n: jnp.zeros((n, self.H))
+
+
+def _run_ours(setup, impl, beam=4, cw=0.3, tw=0.7):
+    ps, js, init = setup.jax_fns()
+    return rnnt_search.rnnt_beam_search(
+        ps, js, init, jnp.asarray(setup.enc), jnp.asarray(setup.lens),
+        jnp.asarray(setup.ctc), beam_size=beam, blank_id=0,
+        ctc_weight=cw, transducer_weight=tw, impl=impl,
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6])
+def test_device_matches_host(seed):
+    setup = _Setup(seed)
+    dev = _run_ours(setup, "device")
+    host = _run_ours(setup, "host")
+    for d, h in zip(dev, host):
+        assert d.nbest == h.nbest, (seed, d.nbest, h.nbest)
+        np.testing.assert_allclose(
+            d.nbest_scores, h.nbest_scores, rtol=2e-4, atol=2e-4
+        )
+
+
+def test_device_matches_host_bigger_beam():
+    setup = _Setup(11, B=4, T=20, V=16, H=12)
+    dev = _run_ours(setup, "device", beam=8)
+    host = _run_ours(setup, "host", beam=8)
+    for d, h in zip(dev, host):
+        assert d.nbest == h.nbest
+        np.testing.assert_allclose(
+            d.nbest_scores, h.nbest_scores, rtol=2e-4, atol=2e-4
+        )
+
+
+# --- reference parity ----------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_pbs():
+    import torch  # noqa: F401
+
+    for name in ("torchaudio", "torchaudio.compliance",
+                 "torchaudio.compliance.kaldi", "langid", "sentencepiece"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    wh = types.ModuleType("whisper")
+    wt = types.ModuleType("whisper.tokenizer")
+    wt.LANGUAGES = {"en": "english"}
+    wh.tokenizer = wt
+    sys.modules.setdefault("whisper", wh)
+    sys.modules.setdefault("whisper.tokenizer", wt)
+    dec = types.ModuleType("wenet.transformer.decoder")
+    for cls in ("LanguageSpecificTransformerDecoder", "TransformerDecoder",
+                "BiTransformerDecoder"):
+        setattr(dec, cls, type(cls, (), {}))
+    sys.modules["wenet.transformer.decoder"] = dec
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    try:
+        from wenet.transducer.search import prefix_beam_search as pbs
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference prefix_beam_search unimportable: {e}")
+    return pbs
+
+
+def _ref_stub(setup):
+    import torch
+
+    E = torch.from_numpy(setup.E)
+    W = torch.from_numpy(setup.W)
+    A = torch.from_numpy(setup.A)
+    Bm = torch.from_numpy(setup.Bm)
+    H = setup.H
+
+    class Pred:
+        def init_state(self, batch, method="zero", device=None):
+            return [torch.zeros(batch, H)]
+
+        def cache_to_batch(self, caches):
+            return [torch.cat([c[0] for c in caches], dim=0)]
+
+        def batch_to_cache(self, cache):
+            s = cache[0]
+            return [[s[i : i + 1]] for i in range(s.shape[0])]
+
+        def forward_step(self, pre_t, padding, cache):
+            # pre_t (n, 1); cache [s (n, H)]
+            s = torch.tanh(cache[0] @ W + E[pre_t[:, 0]])
+            return s.unsqueeze(1), [s]
+
+    def joint(enc_x, pred_t):
+        # enc_x (n, 1, De), pred_t (n, 1, H) -> (n, 1, 1, V) raw logits
+        return (enc_x @ A).unsqueeze(2) + (pred_t @ Bm).unsqueeze(2)
+
+    return Pred(), joint
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_device_matches_reference_batch(ref_pbs, seed):
+    import torch
+
+    setup = _Setup(seed)
+    pred, joint = _ref_stub(setup)
+    searcher = ref_pbs.PrefixBeamSearch(
+        encoder=None, predictor=pred, joint=joint, ctc=None, blank=0
+    )
+    ref = searcher.prefix_beam_search_decode_batch(
+        torch.from_numpy(setup.enc), torch.from_numpy(setup.lens.copy()),
+        torch.from_numpy(setup.ctc), beam_size=4,
+        ctc_weight=0.3, transducer_weight=0.7,
+    )
+    dev = _run_ours(setup, "device", beam=4)
+    for r, d in zip(ref, dev):
+        r_nbest = [list(h) for h in r.nbest]
+        assert d.nbest == r_nbest, (seed, d.nbest, r_nbest)
+        np.testing.assert_allclose(
+            d.nbest_scores, [float(s) for s in r.nbest_scores],
+            rtol=2e-4, atol=2e-4,
+        )
