@@ -6,25 +6,29 @@ tensors between fusions, while this kernel streams r/k/v/w through VMEM
 once per chunk, keeps the (N, N) recurrence state in a VMEM scratch across
 grid steps, and writes only y — the op becomes pure-bandwidth on its inputs.
 
-Layout: grid (B*H, T/L); each grid step processes an (L, N) chunk as nb
-sub-blocks of S=16:
-  - intra sub-block: midpoint-recentred factor matmuls, exact in fp32;
-  - across sub-blocks + across chunks: a sequential scan over the nb
-    sub-blocks updating the (N, N) state with (S, N) x (N, N) MXU matmuls
-    (all in VMEM, unrolled 16x per grid step).
+Default path (v5, round 2): TWO-PASS formulation with no serial state
+chain anywhere —
+  pass 1 (`_kernel_v5`): every grid step is an independent (G heads x one
+    L-chunk) tile; intra-sub-block outputs from one masked (L, L) MXU
+    matmul, decay prefixes/suffixes from log-depth VPU shift-adds,
+    cross-sub-block state from a Hillis-Steele scan over stacked (N, N)
+    sub-block KV summaries; emits per-chunk (N, N) KV summaries;
+  pass 2 (XLA): log-depth `associative_scan` over chunks + one batched
+    MXU matmul applies cross-chunk state.  Carried-in state and the final
+    state just enter/exit the chunk scan (native streaming support; the
+    reference needs a separate wkv6state CUDA kernel for this,
+    `wkv6state_cuda.cu:8-25`).
 
 Backward: custom_vjp that recomputes through the differentiable XLA chunked
 path (the kernel is the inference/bench fast path; training uses autodiff).
 
-Status (v5e, B=4-8, T=2250, H=8, N=64 bf16): v4 (default) = big-matmul
-intra (v2) + HEAD-PAIRED block-diagonal state scan (128-lane dots),
-~17% faster than v2 standalone; beats the XLA chunked path in-context.
-Profiling shows the remaining cost is still the serial sub-block scan
-(~10x above bandwidth-bound).  v3 (batched-over-heads dots) is slower —
-Mosaic unrolls dot_general batch dims rather than widening the MXU.
-Round-2 direction: break the serial chain entirely with a two-pass
-chunk-state formulation.  bf16 outputs match the scan oracle to within
-output quantization (~0.8% at |y|~60), same as the XLA path on TPU.
+Status (v5e, B=8, T=2250, H=8, N=64 bf16): v5 = 1.82 ms/call vs v4
+2.5-2.9 ms (1.4x), encoder bench 6747 -> 7698 x realtime.  Ablation shows
+per-grid-step fixed overhead ~10us dominates at small tiles — hence the
+G=8 head grouping (72 steps vs 576); beyond G=8 compute per step, not
+step count, is the limit.  Versions 1-4 (serial in-kernel state scans)
+are kept for benchmarking.  bf16 outputs match the scan oracle to within
+output quantization (~0.6%), same as the XLA path on TPU.
 """
 from __future__ import annotations
 
@@ -296,6 +300,245 @@ def _kernel_v3(r_ref, k_ref, v_ref, w_ref, u_ref, y_ref, state_ref, *,
     y_ref[...] = y.astype(y_ref.dtype)
 
 
+def _v5_head(r, k, v, w, u, *, L: int, N: int, cd):
+    """One head-chunk of the v5 two-pass kernel body: returns
+    (y_local (L,N) f32, qg (L,N) f32, chunk KV (N,N) f32)."""
+    f32 = jnp.float32
+    nb = L // SUB
+    NB = nb * N
+    w = jnp.minimum(w, np.log(160.0 / (SUB + 2)))
+
+    rowL = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    colL = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    intra_mask = (rowL > colL) & ((rowL // SUB) == (colL // SUB))
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+
+    lw = -jnp.exp(w)                                     # (L, N)
+
+    # log-depth masked shift-add cumsums on the VPU (no selector matmuls):
+    #   Bi  = inclusive within-sub-block prefix of lw
+    #   sfx = exclusive within-sub-block suffix of lw   (=> total - Bi)
+    #   F   = inclusive within-chunk prefix of lw       (=> block prefix)
+    def shift_down(x, s):
+        return jnp.concatenate([jnp.zeros((s, x.shape[1]), f32), x[:-s]], 0)
+
+    def shift_up(x, s):
+        return jnp.concatenate([x[s:], jnp.zeros((s, x.shape[1]), f32)], 0)
+
+    Bi = lw
+    s = 1
+    while s < SUB:
+        Bi = Bi + jnp.where((rows1 % SUB) >= s, shift_down(Bi, s), 0.0)
+        s *= 2
+    sfx = lw
+    s = 1
+    while s < SUB:
+        sfx = sfx + jnp.where((rows1 % SUB) < SUB - s, shift_up(sfx, s), 0.0)
+        s *= 2
+    sfx = sfx - lw                     # exclusive suffix within sub-block
+    F = lw
+    s = 1
+    while s < L:
+        F = F + jnp.where(rows1 >= s, shift_down(F, s), 0.0)
+        s *= 2
+    Be = Bi - lw                       # exclusive prefix within sub-block
+    total = Bi + sfx                   # own-sub-block total, per row
+    pfx = F - Bi                       # earlier-sub-blocks prefix, per row
+
+    # ---- intra sub-block, recentred at total/2 (same exponent budget as
+    # the midpoint row: |Be - total/2| <= |total|/2 <= 8 * rate_clamp)
+    m = 0.5 * total
+    q_mid = (r * jnp.exp(Be - m)).astype(cd)
+    k_mid = (k * jnp.exp(m - Bi)).astype(cd)
+    A = jax.lax.dot_general(q_mid, k_mid, (((1,), (1,)), ((), ())),
+                            preferred_element_type=f32)   # (L, L)
+    A = jnp.where(intra_mask, A, 0.0).astype(cd)
+    diag = jnp.sum(r * u * k, axis=-1, keepdims=True)
+    vc = v.astype(cd)
+    y = jnp.dot(A, vc, preferred_element_type=f32) + diag * v
+
+    # ---- per-sub-block KV summaries: nb independent (N,S)@(S,N) dots
+    # (batched dot_general; Mosaic unrolls the batch dim, but the dots
+    # have no serial dependency so they pipeline)
+    q2 = r * jnp.exp(Be)               # decay from own sub-block start
+    k_tail = k * jnp.exp(sfx)          # decay to own sub-block end
+    kt_b = k_tail.astype(cd).reshape(nb, SUB, N)
+    v_b = vc.reshape(nb, SUB, N)
+    KVs = jax.lax.dot_general(
+        kt_b, v_b, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    ).reshape(NB, N)                   # stacked (block, key-chan)
+
+    # per-row decay a[j*N+n] = exp(total_j[n]): lane->sublane movement is
+    # not a supported Mosaic reshape, so broadcast each block-total row to
+    # an (N, N) tile and extract the diagonal with a one-hot lane sum
+    tot_blk = total.reshape(nb, SUB, N)[:, SUB - 1]        # (nb, N)
+    tot_stk = jnp.broadcast_to(
+        tot_blk[:, None, :], (nb, N, N)).reshape(NB, N)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (NB, N), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NB, N), 1)
+    a = jnp.sum(jnp.where(lane == ridx % N, jnp.exp(tot_stk), 0.0),
+                axis=1, keepdims=True)                     # (NB, 1)
+
+    # ---- Hillis-Steele inclusive scan over sub-blocks (log-depth, VPU)
+    b = KVs
+    off = 1
+    while off < nb:
+        sh = off * N
+        a_prev = jnp.concatenate(
+            [jnp.ones((sh, 1), f32), a[: NB - sh]], axis=0)
+        b_prev = jnp.concatenate(
+            [jnp.zeros((sh, N), f32), b[: NB - sh]], axis=0)
+        b = a * b_prev + b
+        a = a * a_prev
+        off *= 2
+
+    # state BEFORE each sub-block = inclusive state of the previous one
+    s_before = jnp.concatenate(
+        [jnp.zeros((N, N), f32), b[: NB - N]], axis=0)     # (NB, N)
+    q_b = q2.astype(cd).reshape(nb, SUB, N)
+    s_b = s_before.astype(cd).reshape(nb, N, N)
+    y_bet = jax.lax.dot_general(
+        q_b, s_b, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    ).reshape(L, N)
+    return y + y_bet, q2 * jnp.exp(pfx), b[NB - N :]
+
+
+def _kernel_v5(r_ref, k_ref, v_ref, w_ref, u_ref,
+               y_ref, qg_ref, kv_ref, *, L: int, N: int, G: int):
+    """v5 (two-pass, pass 1): per-chunk kernel with NO serial state chain.
+
+    Grid steps are independent (no carried scratch); each processes G heads
+    of one chunk in an unrolled loop (grid-step fixed overhead ~10us on the
+    v5e, measured by ablation, so amortize it; the loop rather than a
+    (G*L, N) vectorized body keeps the VMEM live set to ~one head).
+    Per head-chunk (see _v5_head): one masked (L, L) intra matmul,
+    log-depth VPU shift-add cumsums for every decay prefix/suffix, nb
+    stacked (N, N) sub-block KV summaries combined by a Hillis-Steele scan
+    and applied with independent batched dots.  The chunk is summarized
+    for pass 2 (an XLA `associative_scan` over chunks) by its (N, N) KV;
+    the chunk log-decay total is recomputed in XLA from w (Mosaic crashes
+    on multi-G 4D output blocks).  This removes the serial per-sub-block
+    state dots that dominated v2/v4 (NOTES.md perf profile).
+    """
+    cd = jnp.bfloat16 if qg_ref.dtype == jnp.bfloat16 else jnp.float32
+    f32 = jnp.float32
+    for g in range(G):
+        y, qg, kv = _v5_head(
+            r_ref[g].astype(f32), k_ref[g].astype(f32),
+            v_ref[g].astype(f32), w_ref[g].astype(f32),
+            u_ref[g].astype(f32), L=L, N=N, cd=cd,
+        )
+        y_ref[g] = y.astype(y_ref.dtype)
+        qg_ref[g] = qg.astype(qg_ref.dtype)
+        kv_ref[g] = kv
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_size",))
+def _wkv6_pallas_chunks(r, k, v, w, u, chunk_size: int = 256):
+    """Pass 1 of the two-pass path: returns per-chunk local outputs +
+    summaries.  Shapes: y_loc f32 (BH, C, L, N), qg bf16-of-input
+    (BH, C, L, N), kv f32 (BH, C, N, N), tot f32 (BH, C, N)."""
+    B, T, H, N = r.shape
+    L = int(chunk_size)
+    L = max(SUB, (L // SUB) * SUB)
+    pad = (-T) % L
+    if pad:
+        zpad = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        r, k, v = zpad(r), zpad(k), zpad(v)
+        # pad decay logit with -inf => decay 1: the carried state is not
+        # decayed by pad steps and pad keys are zero
+        w = jnp.pad(w, ((0, 0), (0, pad), (0, 0), (0, 0)),
+                    constant_values=-1e30)
+    Tp = T + pad
+    C = Tp // L
+    BH = B * H
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(BH, Tp, N)
+
+    rb, kb, vb, wb = map(to_bh, (r, k, v, w))
+    ub = jnp.broadcast_to(u[None], (B, H, N)).reshape(BH, 1, N)
+
+    cdtype = r.dtype if r.dtype == jnp.bfloat16 else jnp.float32
+    G = 1
+    for g in (8, 4, 2):
+        if BH % g == 0:
+            G = g
+            break
+    spec = pl.BlockSpec((G, L, N), lambda p, c: (p, c, 0))
+    y_loc, qg, kv = pl.pallas_call(
+        functools.partial(_kernel_v5, L=L, N=N, G=G),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, Tp, N), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Tp, N), cdtype),
+            jax.ShapeDtypeStruct((BH, C * N, N), jnp.float32),
+        ),
+        grid=(BH // G, C),
+        in_specs=[spec, spec, spec, spec,
+                  pl.BlockSpec((G, 1, N), lambda p, c: (p, 0, 0))],
+        out_specs=(
+            spec, spec,
+            # kv laid out (BH, C*N, N); per-step block = G heads' (N, N)
+            pl.BlockSpec((G, N, N), lambda p, c: (p, c, 0)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(rb, kb, vb, wb, ub)
+    kv = kv.reshape(BH, C, N, N)
+    # chunk log-decay total, recomputed in XLA (one fused reduce over w)
+    w_cl = jnp.minimum(wb.astype(jnp.float32), np.log(160.0 / (SUB + 2)))
+    tot = -jnp.sum(jnp.exp(w_cl).reshape(BH, C, L, N), axis=2)
+    shp = lambda x: x.reshape(BH, C, L, N)
+    return shp(y_loc), shp(qg), kv, tot.reshape(BH, C, N)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk_size", "return_state"))
+def _wkv6_pallas_two_pass(r, k, v, w, u, state=None, chunk_size: int = 256,
+                          return_state: bool = False):
+    """Two-pass WKV6: parallel per-chunk Pallas kernel + log-depth XLA
+    cross-chunk combine + one batched MXU matmul.  Supports carried-in
+    state and cheap final-state output (both just enter the chunk scan).
+    """
+    B, T, H, N = r.shape
+    out_dtype = r.dtype
+    BH = B * H
+    y_loc, qg, kv, tot = _wkv6_pallas_chunks(r, k, v, w, u,
+                                             chunk_size=chunk_size)
+    C = kv.shape[1]
+    a = jnp.exp(tot)                                    # (BH, C, N) <= 1
+
+    def comb(ea, eb):
+        aA, bA = ea
+        aB, bB = eb
+        return aA * aB, aB[..., None] * bA + bB
+
+    A_in, B_in = jax.lax.associative_scan(comb, (a, kv), axis=1)
+    if state is None:
+        S0 = jnp.zeros((BH, N, N), jnp.float32)
+    else:
+        S0 = state.astype(jnp.float32).reshape(BH, N, N)
+    # state BEFORE chunk c = A_incl[c-1] (row-wise) * S0 + B_incl[c-1]
+    s_before = jnp.concatenate(
+        [S0[:, None],
+         A_in[:, :-1, :, None] * S0[:, None] + B_in[:, :-1]], axis=1)
+    cd = jnp.bfloat16 if out_dtype == jnp.bfloat16 else jnp.float32
+    y_cross = jnp.einsum(
+        "bcln,bcnp->bclp", qg.astype(cd), s_before.astype(cd),
+        preferred_element_type=jnp.float32,
+    )
+    y = (y_loc + y_cross).reshape(BH, -1, N)[:, :T]
+    y = y.reshape(B, H, T, N).transpose(0, 2, 1, 3).astype(out_dtype)
+    if return_state:
+        S_fin = A_in[:, -1, :, None] * S0 + B_in[:, -1]
+        return y, S_fin.reshape(B, H, N, N)
+    return y
+
+
 @functools.partial(
     jax.jit, static_argnames=("chunk_size", "return_state", "version"))
 def _wkv6_pallas_fwd(r, k, v, w, u, state=None, chunk_size: int = 256,
@@ -392,22 +635,28 @@ def _wkv6_pallas_fwd(r, k, v, w, u, state=None, chunk_size: int = 256,
     return y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _wkv6_pallas_diff(r, k, v, w, u, chunk_size):
-    return _wkv6_pallas_fwd(r, k, v, w, u, chunk_size=chunk_size)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _wkv6_pallas_diff(r, k, v, w, u, state, chunk_size, return_state):
+    return _wkv6_pallas_two_pass(r, k, v, w, u, state=state,
+                                 chunk_size=chunk_size,
+                                 return_state=return_state)
 
 
-def _diff_fwd(r, k, v, w, u, chunk_size):
-    return _wkv6_pallas_fwd(r, k, v, w, u, chunk_size=chunk_size), \
-        (r, k, v, w, u)
+def _diff_fwd(r, k, v, w, u, state, chunk_size, return_state):
+    out = _wkv6_pallas_two_pass(r, k, v, w, u, state=state,
+                                chunk_size=chunk_size,
+                                return_state=return_state)
+    return out, (r, k, v, w, u, state)
 
 
-def _diff_bwd(chunk_size, res, g):
+def _diff_bwd(chunk_size, return_state, res, g):
     from paper_accurate_fast_cheap_tpu.ops.wkv6 import wkv6_chunked
 
-    r, k, v, w, u = res
+    r, k, v, w, u, state = res
     _, vjp = jax.vjp(
-        lambda *a: wkv6_chunked(*a, chunk_size=chunk_size), r, k, v, w, u
+        lambda *a: wkv6_chunked(*a, chunk_size=chunk_size,
+                                return_state=return_state),
+        r, k, v, w, u, state,
     )
     return vjp(g)
 
@@ -416,10 +665,18 @@ _wkv6_pallas_diff.defvjp(_diff_fwd, _diff_bwd)
 
 
 def wkv6_pallas(r, k, v, w, u, state=None, chunk_size: int = 256,
-                return_state: bool = False):
+                return_state: bool = False, version: int = 5):
     """Pallas forward (+ XLA-recompute backward).  Same semantics as
-    `ops.wkv6.wkv6_ref` for state=None; carried-in state falls back to the
-    chunked path."""
+    `ops.wkv6.wkv6_ref`.
+
+    version=5 (default): two-pass formulation — parallel per-chunk kernel,
+    log-depth XLA cross-chunk combine — with native carried-state and
+    cheap final-state support.  Versions 1-4 are the round-1 single-pass
+    kernels kept for benchmarking (no state carry).
+    """
+    if version == 5:
+        return _wkv6_pallas_diff(r, k, v, w, u, state, chunk_size,
+                                 return_state)
     if state is not None:
         from paper_accurate_fast_cheap_tpu.ops.wkv6 import wkv6_chunked
 
@@ -428,5 +685,6 @@ def wkv6_pallas(r, k, v, w, u, state=None, chunk_size: int = 256,
                             return_state=return_state)
     if return_state:
         return _wkv6_pallas_fwd(r, k, v, w, u, chunk_size=chunk_size,
-                                return_state=True)
-    return _wkv6_pallas_diff(r, k, v, w, u, chunk_size)
+                                return_state=True, version=version)
+    return _wkv6_pallas_fwd(r, k, v, w, u, chunk_size=chunk_size,
+                            version=version)

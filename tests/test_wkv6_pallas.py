@@ -44,3 +44,27 @@ def test_pallas_grad_via_chunked_recompute():
     for a, b in zip(g_p, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_v5_carried_state_and_final_state():
+    """v5 two-pass: carried-in state and final-state output are native
+    (no chunked-path fallback); streaming split == full forward."""
+    r, k, v, w, u = _inputs(jax.random.PRNGKey(3), B=2, T=100, H=4)
+    S0 = jnp.asarray(
+        np.random.RandomState(9).randn(2, 4, 64, 64).astype(np.float32) * 0.3
+    )
+    y_ref, S_ref = wkv6_ref(r, k, v, w, u, state=S0, return_state=True)
+    y, S = wkv6_pallas(r, k, v, w, u, state=S0, return_state=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(S), np.asarray(S_ref),
+                               rtol=2e-3, atol=2e-3)
+    # streaming: two halves with carried state == full run
+    y_a, S_a = wkv6_pallas(
+        r[:, :50], k[:, :50], v[:, :50], w[:, :50], u,
+        state=S0, return_state=True)
+    y_b = wkv6_pallas(
+        r[:, 50:], k[:, 50:], v[:, 50:], w[:, 50:], u, state=S_a)
+    y_cat = jnp.concatenate([y_a, y_b], axis=1)
+    np.testing.assert_allclose(np.asarray(y_cat), np.asarray(y_ref),
+                               rtol=2e-3, atol=2e-3)
