@@ -55,6 +55,20 @@ def _tmix(sd, prefix, dst):
     _norm(sd, f"{prefix}.ln_x", dst["ln_x"])
 
 
+def _mamba2(sd, prefix, dst):
+    """mamba_ssm Mamba2 state dict -> our Mamba2Block params
+    (`mamba2_bidirectional.py:72-101` wraps two of these)."""
+    _dense(sd, f"{prefix}.in_proj", dst["in_proj"], bias=False)
+    dst["conv1d"]["kernel"] = np.asarray(
+        sd[f"{prefix}.conv1d.weight"]).transpose(2, 1, 0)
+    if f"{prefix}.conv1d.bias" in sd:
+        dst["conv1d"]["bias"] = np.asarray(sd[f"{prefix}.conv1d.bias"])
+    for nm in ("dt_bias", "A_log", "D"):
+        dst[nm] = np.asarray(sd[f"{prefix}.{nm}"])
+    dst["norm"]["scale"] = np.asarray(sd[f"{prefix}.norm.weight"])
+    _dense(sd, f"{prefix}.out_proj", dst["out_proj"], bias=False)
+
+
 def convert_state_dict(sd: Dict[str, Any], params: Dict[str, Any],
                        strict: bool = False) -> Dict[str, Any]:
     """sd: torch state_dict (tensor or ndarray values); params: our
@@ -134,6 +148,31 @@ def convert_state_dict(sd: Dict[str, Any], params: Dict[str, Any],
                       ".tmix_block", att["tmix_rev"])
             else:
                 _tmix(sd, f"{src}.self_attn.tmix_block", att["tmix"])
+        # MHA / rel-pos MHA / limited-context (LCA) attention
+        for att_key in (f"MultiHeadedAttention_{i}",
+                        f"RelPositionMultiHeadedAttention_{i}",
+                        f"LimitedRelPositionAttention_{i}"):
+            if att_key not in enc:
+                continue
+            att = enc[att_key]
+            for lin in ("linear_q", "linear_k", "linear_v", "linear_out",
+                        "linear_pos", "global_q", "global_k", "global_v"):
+                if lin in att and f"{src}.self_attn.{lin}.weight" in sd:
+                    _dense(sd, f"{src}.self_attn.{lin}", att[lin])
+            for pb in ("pos_bias_u", "pos_bias_v"):
+                if pb in att and f"{src}.self_attn.{pb}" in sd:
+                    att[pb] = np.asarray(sd[f"{src}.self_attn.{pb}"])
+        # mamba attention (`mamba_att_wrapper.py:35`: self_attn.mamba)
+        att_key = f"MambaAttention_{i}"
+        if att_key in enc:
+            att = enc[att_key]
+            if "mamba_bwd" in att:
+                _mamba2(sd, f"{src}.self_attn.mamba.mamba_forward",
+                        att["mamba_fwd"])
+                _mamba2(sd, f"{src}.self_attn.mamba.mamba_backward",
+                        att["mamba_bwd"])
+            else:
+                _mamba2(sd, f"{src}.self_attn.mamba", att["mamba_fwd"])
     if "after_norm" in enc:
         _norm(sd, "encoder.after_norm", enc["after_norm"])
 
