@@ -20,6 +20,9 @@ import numpy as np
 def get_args(argv=None):
     p = argparse.ArgumentParser(description="write tar shards")
     p.add_argument("--wav_scp", required=True, help="'key path' per line")
+    p.add_argument("--audio_format", default="wav", choices=["wav", "flac"],
+                   help="shard entry codec (reference AUDIO_FORMAT_SETS, "
+                        "tools/make_shard.py:36; flac via the native codec)")
     p.add_argument("--text", required=True, help="'key transcript' per line")
     p.add_argument("--output_dir", required=True)
     p.add_argument("--num_utts_per_shard", type=int, default=1000)
@@ -56,7 +59,7 @@ def _wav_to_bytes(samples: np.ndarray, sr: int) -> bytes:
 def main(argv=None):
     args = get_args(argv)
     logging.basicConfig(level=logging.INFO)
-    from paper_accurate_fast_cheap_tpu.data.pipeline import _read_wav_bytes
+    from paper_accurate_fast_cheap_tpu.data.pipeline import _read_audio_bytes
 
     wavs = _read_table(args.wav_scp)
     texts = _read_table(args.text)
@@ -84,7 +87,7 @@ def main(argv=None):
             tf = tarfile.open(path, "w")
         try:
             with open(wavs[wav_key], "rb") as f:
-                samples, sr = _read_wav_bytes(f.read())
+                samples, sr = _read_audio_bytes(f.read())
         except Exception as e:
             logging.warning("skip %s: %s", utt, e)
             continue
@@ -97,8 +100,14 @@ def main(argv=None):
             samples = resample_poly(samples, args.resample // g, sr // g)
             sr = args.resample
         data_txt = texts[utt].encode("utf-8")
-        data_wav = _wav_to_bytes(np.asarray(samples, np.float32), sr)
-        for ext, data in (("txt", data_txt), ("wav", data_wav)):
+        if args.audio_format == "flac":
+            from paper_accurate_fast_cheap_tpu.data.flac import encode_flac
+
+            data_wav = encode_flac(np.asarray(samples, np.float32), sr)
+        else:
+            data_wav = _wav_to_bytes(np.asarray(samples, np.float32), sr)
+        for ext, data in (("txt", data_txt),
+                          (args.audio_format, data_wav)):
             info = tarfile.TarInfo(f"{utt}.{ext}")
             info.size = len(data)
             tf.addfile(info, io.BytesIO(data))

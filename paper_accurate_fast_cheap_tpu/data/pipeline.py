@@ -126,29 +126,127 @@ def shard_by_rank(items: Iterable, rank: int = 0, world_size: int = 1,
 
 # ---------------------------------------------------------------- processors
 
-def decode_wav(samples: Iterable[Dict]) -> Iterator[Dict]:
+def _decode_one(s: Dict) -> Dict:
+    """Decode one sample's audio (wav/flac by content sniffing)."""
+    if "audio_bytes" in s:
+        data = s.pop("audio_bytes")
+    else:
+        with open(s["wav"], "rb") as f:
+            data = f.read()
+    wav, sr = _read_audio_bytes(data, s.get("audio_ext"))
+    if "start" in s:
+        start = int(float(s["start"]) * sr)
+        end = int(float(s.get("end", len(wav) / sr)) * sr)
+        wav = wav[start:end]
+    s = dict(s, wav=wav, sample_rate=sr)
+    s.pop("audio_ext", None)
+    return s
+
+
+def decode_wav(samples: Iterable[Dict],
+               num_workers: int = 0) -> Iterator[Dict]:
     """Decode audio to float32 in int16 scale /(1<<15) normalized [-1,1]
     mono, with optional [start, end] second segment reads
-    (`processor.py:178-211`)."""
+    (`processor.py:178-211`).  Formats: RIFF/WAV and FLAC (both via the
+    native C++ decoders, `native/pafc_native.cpp`); other codecs must be
+    re-packed with `bin/make_shard.py` (this image has no sox/ffmpeg).
+
+    ``num_workers > 0`` decodes on a thread pool (the native decoders drop
+    the GIL inside the ctypes call, so threads give real parallelism,
+    mirroring the reference's multi-worker DataLoader,
+    `train_utils.py:302-351`)."""
+    if num_workers > 0:
+        yield from parallel_map(_decode_one, samples, num_workers,
+                                on_error="skip")
+        return
     for s in samples:
         try:
-            if "audio_bytes" in s:
-                ext = s.get("audio_ext", "wav")
-                if ext != "wav":
-                    raise ValueError(f"unsupported audio format: {ext}")
-                wav, sr = _read_wav_bytes(s.pop("audio_bytes"))
-            else:
-                with open(s["wav"], "rb") as f:
-                    wav, sr = _read_wav_bytes(f.read())
-            if "start" in s:
-                start = int(float(s["start"]) * sr)
-                end = int(float(s.get("end", len(wav) / sr)) * sr)
-                wav = wav[start:end]
-            s = dict(s, wav=wav, sample_rate=sr)
-            s.pop("audio_ext", None)
-            yield s
+            yield _decode_one(s)
         except Exception as e:  # mirror MapperIgnoreErrorDataPipe
             log.warning("decode_wav failed for %s: %s", s.get("key"), e)
+
+
+def _read_audio_bytes(data: bytes, ext=None):
+    """Sniff the container (RIFF/WAV or FLAC) and decode to mono float32."""
+    if data[:4] == b"fLaC":
+        from paper_accurate_fast_cheap_tpu.data import flac
+
+        out = flac.decode_flac(data)
+        if out is None:
+            raise ValueError("flac decode failed")
+        x, sr = out
+        if x.ndim == 2:
+            x = x.mean(axis=1)
+        return x, sr
+    if data[:4] == b"RIFF":
+        return _read_wav_bytes(data)
+    raise ValueError(
+        f"unsupported audio format (ext={ext!r}); this image has no "
+        "sox/ffmpeg — re-pack shards as wav or flac with bin/make_shard.py"
+    )
+
+
+def parallel_map(fn, stream: Iterable, workers: int,
+                 on_error: str = "raise") -> Iterator:
+    """Order-preserving thread-pool map with a bounded in-flight window
+    (the TPU-side analog of `PrefetchDataPipe` + worker DataLoader,
+    `datapipes.py:370-411`)."""
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        pending = collections.deque()
+        it = iter(stream)
+        try:
+            for item in it:
+                pending.append(ex.submit(fn, item))
+                if len(pending) >= workers * 2:
+                    yield from _drain_one(pending, on_error)
+            while pending:
+                yield from _drain_one(pending, on_error)
+        except GeneratorExit:
+            for f in pending:
+                f.cancel()
+            raise
+
+
+def _drain_one(pending, on_error):
+    f = pending.popleft()
+    try:
+        yield f.result()
+    except Exception as e:
+        if on_error == "raise":
+            raise
+        log.warning("parallel_map item failed: %s", e)
+
+
+def prefetch(stream: Iterable, buffer_size: int = 4) -> Iterator:
+    """Run the upstream pipeline in a background thread with a bounded
+    queue so host data prep overlaps TPU steps (`PrefetchDataPipe`,
+    `datapipes.py:370-411`)."""
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=buffer_size)
+    _END = object()
+
+    def worker():
+        try:
+            for item in stream:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surface upstream errors in the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def _read_wav_bytes(data: bytes):
@@ -251,6 +349,115 @@ def tokenize(samples, tokenizer):
     for s in samples:
         tokens, ids = tokenizer.tokenize(s["txt"])
         yield dict(s, tokens=tokens, label=np.asarray(ids, np.int32))
+
+
+class SpecialTokensHandler:
+    """Reject / remove / relabel special tokens in transcripts
+    (`rev_processor.py:161-229`).  Deviation from the reference: applied
+    BEFORE tokenization so `label` reflects the cleaned text (the
+    reference runs it after `tokenize`, leaving labels computed from the
+    raw text — an upstream quirk, not a contract)."""
+
+    def __init__(self, config: Dict[str, Any]):
+        self.reject_set = set(config.get("reject_on", []))
+        self.remove_set = set(config.get("remove", []))
+        self.relabel_map = dict(config.get("relabel", []))
+        self.remove_trailing_dash = config.get("remove_trailing_dash", False)
+        self.stats: Dict[str, int] = {}
+
+    def transform(self, sample: Optional[Dict]) -> Optional[Dict]:
+        if sample is None or "txt" not in sample:
+            return sample
+        words = sample["txt"].split()
+        new_words = []
+        for w in words:
+            if self.remove_trailing_dash and w.endswith("-"):
+                w = w[:-1]
+            if w in self.reject_set:
+                self.stats[w] = self.stats.get(w, 0) + 1
+                return None
+            if w in self.remove_set:
+                self.stats[w] = self.stats.get(w, 0) + 1
+                continue
+            if w in self.relabel_map:
+                self.stats[w] = self.stats.get(w, 0) + 1
+                new_words.append(self.relabel_map[w])
+            else:
+                new_words.append(w)
+        if not new_words:
+            return None
+        out = dict(sample)
+        out["otxt"] = sample["txt"]
+        out["txt"] = " ".join(new_words)
+        return out
+
+    def __call__(self, samples: Iterable[Dict]) -> Iterator[Dict]:
+        for s in samples:
+            t = self.transform(s)
+            if t is not None:
+                yield t
+
+
+def filter_long_yeah_okay(samples, too_long_duration: float = 1.5,
+                          word_subset=None, stats: Optional[Dict] = None):
+    """Drop single-word utterances longer than `too_long_duration` seconds
+    (`rev_processor.py:549-596`; port of remove_long_yeah_okay_segments.pl).
+    """
+    if stats is None:
+        stats = {}
+    stats.setdefault("##total_utterances_filtered##", 0)
+    stats.setdefault("##total_duration_filtered##", 0.0)
+    subset = set(word_subset) if word_subset else None
+    for s in samples:
+        if "sample_rate" not in s or "wav" not in s or "txt" not in s:
+            yield s
+            continue
+        dur = len(s["wav"]) / s["sample_rate"]
+        words = s["txt"].split()
+        if len(words) == 1 and dur >= too_long_duration and (
+                subset is None or s["txt"] in subset):
+            stats[s["txt"]] = stats.get(s["txt"], 0) + 1
+            stats["##total_utterances_filtered##"] += 1
+            stats["##total_duration_filtered##"] += dur
+            continue
+        yield s
+
+
+def pass_one_hot(samples, emb_len: int = 1, field: str = "lang",
+                 one_hot_ids: Optional[Dict[str, int]] = None,
+                 multi_hot: bool = False, force_hot=None,
+                 defaults_vals: Optional[Dict[str, str]] = None,
+                 rng: random.Random = None):
+    """Attach a normalized one/multi-hot category vector as
+    sample['cat_emb'] (`rev_processor.py:116-159`) — consumed by the
+    language-specific (LSL) encoder layers via the batch's `cat_embs`."""
+    rng = rng or random
+    defaults_vals = defaults_vals or {"lang": "en", "style": "nv"}
+    one_hot_ids = one_hot_ids or {}
+    for s in samples:
+        onehot = np.zeros((emb_len,), np.float32)
+        val = s.get(field)
+        if val is None:
+            val = s.get("tk_lang") if field == "lang" else None
+        if val is None:
+            val = defaults_vals.get(field, "")
+        if isinstance(val, bytes):
+            val = val.decode("utf8").strip()
+        for f in str(val).split():
+            if f in one_hot_ids:
+                onehot[one_hot_ids[f]] = 1.0
+        for f in force_hot or []:
+            onehot[int(f)] = 1.0
+        if multi_hot and rng.random() > 0.75:
+            samp = rng.randint(0, emb_len)
+            if samp == emb_len:
+                onehot[:] = 1.0
+            else:
+                onehot[samp] = 1.0
+        total = onehot.sum()
+        if total > 0:
+            onehot = onehot / total
+        yield dict(s, cat_emb=onehot)
 
 
 def compute_num_frames(num_samples: int, sample_rate: int = 16000,
@@ -385,12 +592,15 @@ def collate(batch: List[Dict], wav_quantum: int = 16000,
         u = len(s["label"])
         labels[i, :u] = s["label"]
         label_lens[i] = u
-    return {
+    out = {
         "keys": [s["key"] for s in batch],
         "txts": [s.get("txt", "") for s in batch],
         "wavs": wavs, "wav_lens": wav_lens,
         "labels": labels, "label_lens": label_lens,
     }
+    if all("cat_emb" in s for s in batch):
+        out["cat_embs"] = np.stack([s["cat_emb"] for s in batch])
+    return out
 
 
 # ---------------------------------------------------------------- assembly
@@ -423,13 +633,21 @@ def build_dataset(
     else:
         raise ValueError(f"unknown data_type {data_type!r}")
 
-    stream = decode_wav(stream)
+    stream = decode_wav(stream, num_workers=conf.get("num_workers", 0))
     if conf.get("merge_utterances", {}).get("enabled", False):
         mu = conf["merge_utterances"]
         stream = merge_utterances(
             stream, mu.get("min_sec", 75.0), mu.get("max_sec", 85.0),
             mu.get("add_sw_token", True),
         )
+    if conf.get("handle_special_token", False) and mode == "train":
+        stream = SpecialTokensHandler(
+            conf.get("handle_special_token_conf", {}))(stream)
+    if conf.get("filter_long_yeah_okay", False):
+        fc = conf.get("filter_long_yeah_okay_conf", {})
+        stream = filter_long_yeah_okay(
+            stream, fc.get("too_long_duration", 1.5),
+            fc.get("word_subset"))
     if "resample_conf" in conf:
         stream = resample(stream,
                           conf["resample_conf"].get("resample_rate", 16000))
@@ -437,6 +655,9 @@ def build_dataset(
         stream = speed_perturb(stream, rng=rng)
     stream = tokenize(stream, tokenizer)
     stream = filter_samples(stream, **conf.get("filter_conf", {}))
+    if conf.get("pass_cat_emb", False) or conf.get("add_cat_emb", False):
+        stream = pass_one_hot(stream, rng=rng,
+                              **conf.get("cat_emb_conf", {}))
     if mode == "train" and conf.get("shuffle", True):
         stream = shuffle(
             stream, conf.get("shuffle_conf", {}).get("shuffle_size", 10000),
@@ -458,5 +679,8 @@ def build_dataset(
                              and bc.get("one_utt_per_job", False)))
     else:
         raise ValueError(f"unknown batch_type {btype!r}")
-    for b in batches:
-        yield collate(b)
+    gen = (collate(b) for b in batches)
+    if conf.get("prefetch", True):
+        gen = prefetch(
+            gen, conf.get("prefetch_conf", {}).get("buffer_size", 4))
+    yield from gen

@@ -69,9 +69,11 @@ class ASRModel(nn.Module):
         return sos, eos
 
     def __call__(self, feats, feat_lens, labels, label_lens,
+                 cat_embs=None,
                  deterministic: bool = True) -> Dict[str, jax.Array]:
+        enc_kw = {} if cat_embs is None else {"cat_embs": cat_embs}
         enc, enc_lens = self.encoder(feats, feat_lens,
-                                     deterministic=deterministic)
+                                     deterministic=deterministic, **enc_kw)
         loss_ctc = jnp.asarray(0.0)
         if self.ctc_weight > 0.0:
             logits = self.ctc(enc, deterministic=deterministic)
@@ -124,8 +126,12 @@ class ASRModel(nn.Module):
     # ---- inference surfaces (`asr_model.py:294-335`) ----
 
     def forward_encoder(self, feats, feat_lens, decoding_chunk_size: int = 0,
-                        num_decoding_left_chunks: int = -1):
+                        num_decoding_left_chunks: int = -1, cat_embs=None):
         if isinstance(self.encoder, ConformerEncoder):
+            if cat_embs is not None:
+                return self.encoder(feats, feat_lens, decoding_chunk_size,
+                                    num_decoding_left_chunks,
+                                    cat_embs=cat_embs, deterministic=True)
             return self.encoder(feats, feat_lens, decoding_chunk_size,
                                 num_decoding_left_chunks,
                                 deterministic=True)

@@ -95,9 +95,11 @@ class Transducer(nn.Module):
         return sos, eos
 
     def __call__(self, feats, feat_lens, labels, label_lens,
+                 cat_embs=None,
                  deterministic: bool = True) -> Dict[str, jax.Array]:
+        enc_kw = {} if cat_embs is None else {"cat_embs": cat_embs}
         enc, enc_lens = self.encoder(feats, feat_lens,
-                                     deterministic=deterministic)
+                                     deterministic=deterministic, **enc_kw)
 
         # RNN-T branch
         ys_blank = common.add_blank(labels, label_lens, self.blank_id)
@@ -174,8 +176,12 @@ class Transducer(nn.Module):
     # ---- inference surfaces ----
 
     def forward_encoder(self, feats, feat_lens, decoding_chunk_size: int = 0,
-                        num_decoding_left_chunks: int = -1):
+                        num_decoding_left_chunks: int = -1, cat_embs=None):
         if isinstance(self.encoder, ConformerEncoder):
+            if cat_embs is not None:
+                return self.encoder(feats, feat_lens, decoding_chunk_size,
+                                    num_decoding_left_chunks,
+                                    cat_embs=cat_embs, deterministic=True)
             return self.encoder(feats, feat_lens, decoding_chunk_size,
                                 num_decoding_left_chunks,
                                 deterministic=True)

@@ -69,6 +69,15 @@ def lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ]
+        if hasattr(L, "flac_decode"):
+            L.flac_decode.restype = ctypes.c_int64
+            L.flac_decode.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
         _lib = L
         return _lib
 

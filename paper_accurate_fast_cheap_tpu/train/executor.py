@@ -60,8 +60,13 @@ class Executor:
             jnp.asarray(batch["wavs"]), jnp.asarray(batch["wav_lens"]),
             rng=k, train=train,
         )
-        return (feats, feat_lens, jnp.asarray(batch["labels"]),
-                jnp.asarray(batch["label_lens"]))
+        out = (feats, feat_lens, jnp.asarray(batch["labels"]),
+               jnp.asarray(batch["label_lens"]))
+        if "cat_embs" in batch:
+            # LSL conditioning vector (`rev_processor.py pass_one_hot` ->
+            # LanguageSpecificConformerEncoderLayer)
+            out = out + (jnp.asarray(batch["cat_embs"]),)
+        return out
 
     def train_epoch(
         self,
