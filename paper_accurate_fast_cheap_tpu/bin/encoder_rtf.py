@@ -123,7 +123,10 @@ def run_once(args, batch, chunk, output=None):
     )
 
     dev_mb = device_memory_stats().get("peak_bytes_in_use_mb", 0.0)
+    import os as _os
+
     lines = [
+        f"model {_os.path.splitext(_os.path.basename(args.config))[0]}",
         f"final_rtf {rtf:.8f}",
         f"minutes_audio_per_sec {minutes_per_sec:.3f}",
         f"batch {B} chunk {T} iters {args.iters}",

@@ -26,6 +26,8 @@ def parse_rtf_file(path: str) -> dict:
                 "audio_seconds", "max_cpu_ram_mb",
             ):
                 out[parts[0]] = float(parts[1])
+            if len(parts) >= 2 and parts[0] == "model":
+                out["model"] = parts[1]
             m = re.match(r"batch (\d+) chunk (\d+)", line)
             if m:
                 out["batch"] = int(m.group(1))
@@ -39,15 +41,18 @@ def aggregate(paths):
         d = parse_rtf_file(p)
         if "final_rtf" not in d:
             continue
-        key = (d.get("batch", 0), d.get("chunk", 0))
+        key = (d.get("model", ""), d.get("batch", 0), d.get("chunk", 0))
         groups[key].append(d["final_rtf"])
     rows = []
-    for (batch, chunk), vals in sorted(groups.items()):
+    for (model, batch, chunk), vals in sorted(groups.items()):
         arr = np.asarray(vals)
+        inv = 1.0 / arr
         rows.append({
-            "batch": batch, "chunk": chunk, "runs": len(vals),
+            "model": model, "batch": batch, "chunk": chunk,
+            "runs": len(vals), "n": len(vals),
             "rtf_mean": float(arr.mean()), "rtf_std": float(arr.std()),
-            "inv_rtf_mean": float((1.0 / arr).mean()),
+            "inv_rtf_mean": float(inv.mean()),
+            "inv_rtf_std": float(inv.std()),
         })
     return rows
 
