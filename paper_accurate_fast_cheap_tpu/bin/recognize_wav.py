@@ -35,6 +35,17 @@ def get_args(argv=None):
     p.add_argument("--beam_size", type=int, default=8)
     p.add_argument("--ctc_weight", type=float, default=0.3)
     p.add_argument("--transducer_weight", type=float, default=0.7)
+    # the paper's LF protocol flags (`recognize_wav2.py:365-366,426-429`)
+    p.add_argument("--rwkv_r", type=int, default=0,
+                   help="rwkv_ctx_len override; the reference recompiles "
+                        "its CUDA kernel for this T — the TPU kernel is "
+                        "length-agnostic so this only updates the config")
+    p.add_argument("--verbatimicity", type=float, default=None,
+                   help="cat_embs = [v, 1-v] conditioning (LSL encoders)")
+    p.add_argument("--encoder_context_size", type=int, default=0,
+                   help="switch self-attention to LCA with this context")
+    p.add_argument("--encoder_global_tokens", type=int, default=0)
+    p.add_argument("--encoder_global_tokens_spacing", type=int, default=1)
     return p.parse_args(argv)
 
 
@@ -60,17 +71,36 @@ def main(argv=None):
     from paper_accurate_fast_cheap_tpu.bin.recognize import (
         build_decode_assets,
     )
-    from paper_accurate_fast_cheap_tpu.data.pipeline import _read_wav_bytes
+    from paper_accurate_fast_cheap_tpu.data.pipeline import (
+        _read_audio_bytes,
+    )
     from paper_accurate_fast_cheap_tpu.decode import rnnt_search, search
     from paper_accurate_fast_cheap_tpu.ops import ctc_utils
     from paper_accurate_fast_cheap_tpu.utils.config import load_config
 
     config = load_config(args.config)
+    enc_conf = dict(config.get("encoder_conf", {}))
+    if args.rwkv_r:
+        enc_conf["rwkv_ctx_len"] = args.rwkv_r
+        logging.info("rwkv_ctx_len override %d (length-agnostic on TPU)",
+                     args.rwkv_r)
+    if args.encoder_context_size > 0:
+        enc_conf["selfattention_layer_type"] = "limited_rel_selfattn"
+        enc_conf["att_context_size"] = [args.encoder_context_size,
+                                        args.encoder_context_size]
+        enc_conf["global_tokens"] = args.encoder_global_tokens
+        enc_conf["global_tokens_spacing"] = \
+            args.encoder_global_tokens_spacing
+    config = dict(config, encoder_conf=enc_conf)
     tokenizer, model, model_type, params, featurize, dataset_conf = \
         build_decode_assets(config, args.checkpoint)
+    cat_embs = None
+    if args.verbatimicity is not None:
+        cat_embs = jnp.asarray(
+            [[args.verbatimicity, 1.0 - args.verbatimicity]])
 
     with open(args.wav, "rb") as f:
-        wav, sr = _read_wav_bytes(f.read())
+        wav, sr = _read_audio_bytes(f.read())
     if sr != 16000:
         from scipy.signal import resample_poly
 
@@ -99,9 +129,17 @@ def main(argv=None):
         init_state_fn = functools.partial(
             model.apply, params, method=model.predictor_init_state)
 
-    fwd = jax.jit(
-        lambda f, l: model.apply(params, f, l,
-                                 method=model.forward_encoder))
+    if cat_embs is not None:
+        fwd = jax.jit(
+            lambda f, l: model.apply(
+                params, f, l,
+                cat_embs=jnp.broadcast_to(cat_embs,
+                                          (f.shape[0], cat_embs.shape[1])),
+                method=model.forward_encoder))
+    else:
+        fwd = jax.jit(
+            lambda f, l: model.apply(params, f, l,
+                                     method=model.forward_encoder))
     ctc_fn = jax.jit(
         lambda e: model.apply(params, e, method=model.ctc_logprobs))
 

@@ -173,3 +173,43 @@ def test_make_shard_and_cmvn_tools(tmp_path):
     assert rc == 0
     mean, istd = load_cmvn_json(str(tmp_path / "cmvn.json"))
     assert mean.shape == (23,) and np.isfinite(mean).all()
+
+
+def test_lf_sweep_driver(trained, tmp_path):
+    """examples/gigaspeech/local/run_lf_sweep.py end-to-end on synthetic
+    audio: chunk-size sweep -> per-chunk summary.txt + top-level table
+    (shape of `go-LF-dev-one-model-paper.sh:90-124`), including the
+    --rwkv_r / --verbatimicity paper flags and a flac input."""
+    import importlib.util
+
+    from paper_accurate_fast_cheap_tpu.data.flac import encode_flac
+
+    workspace, model_dir = trained
+    spec = importlib.util.spec_from_file_location(
+        "run_lf_sweep", "examples/gigaspeech/local/run_lf_sweep.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rng = np.random.RandomState(3)
+    wav_dir = tmp_path / "eps"
+    wav_dir.mkdir()
+    (wav_dir / "ep1.wav").write_bytes(_wav_bytes(rng.randn(16000 * 3) * 0.05))
+    (wav_dir / "ep2.flac").write_bytes(
+        encode_flac((rng.randn(16000 * 2) * 0.05).astype(np.float32), 16000))
+    (wav_dir / "ep1.ref_txt").write_text("hello world\n")
+    (wav_dir / "ep2.ref_txt").write_text("hello\n")
+    out_dir = tmp_path / "lf_sweep"
+    rc = mod.main([
+        "--config", str(model_dir / "train.yaml"),
+        "--checkpoint", str(model_dir / "epoch_0000"),
+        "--wav_dir", str(wav_dir), "--out_dir", str(out_dir),
+        "--chunk_sizes", "120,200", "--mode", "ctc_greedy_search",
+        "--batch_size", "2", "--rwkv_r", "1024",
+    ])
+    assert rc == 0
+    top = (out_dir / "summary.txt").read_text().strip().split("\n")
+    assert top[0].startswith("chunk_frames wer")
+    assert len(top) == 3  # header + 2 chunk sizes
+    for chunk in (120, 200):
+        s = (out_dir / f"chunk{chunk}" / "summary.txt").read_text()
+        assert "wer" in s and "num_files 2" in s
