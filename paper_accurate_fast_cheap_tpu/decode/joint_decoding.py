@@ -13,7 +13,7 @@ them one python call at a time.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,8 +33,19 @@ def joint_decoding(
     ctc_weight: float = 0.5,
     att_weight: float = 0.5,
     blank_id: int = 0,
+    words: Optional[Dict[str, int]] = None,
+    word_prefixes: Optional[Dict[str, int]] = None,
+    tok_to_str: Optional[Dict[int, str]] = None,
+    word_start_char: str = "\u2581",
 ) -> DecodeResult:
-    """Single-utterance time-sync joint search."""
+    """Single-utterance time-sync joint search.
+
+    Lexicon constraint (`beam_search_timesync.py:135-139,395-422`): when
+    ``words``/``word_prefixes``/``tok_to_str`` are given, candidate
+    prefixes whose last (possibly partial) word is neither a valid word
+    (at a word boundary) nor a valid word prefix (mid-word) are dropped —
+    unless that would drop everything, in which case the unconstrained
+    candidates survive (the reference's fallback)."""
     T = int(enc_len[0]) if hasattr(enc_len, "__getitem__") else int(enc_len)
     V = ctc_probs.shape[-1]
     # per-prefix CTC scores (blank-ending, nonblank-ending) + cached att
@@ -94,6 +105,12 @@ def joint_decoding(
             return (ctc_weight * np.logaddexp(pb, pnb)
                     + att_weight * att_score.get(prefix, -np.inf))
 
+        if words is not None and tok_to_str is not None:
+            good = {p: v for p, v in nxt.items()
+                    if _lexicon_ok(p, words, word_prefixes or {},
+                                   tok_to_str, word_start_char)}
+            if good:                      # reference fallback: never empty
+                nxt = good
         beams = dict(sorted(nxt.items(), key=combined,
                             reverse=True)[:beam_size])
 
@@ -108,3 +125,38 @@ def joint_decoding(
         if s > best_score:
             best_prefix, best_score = prefix, s
     return DecodeResult(tokens=list(best_prefix), score=float(best_score))
+
+
+def _lexicon_ok(prefix: tuple, words: Dict[str, int],
+                word_prefixes: Dict[str, int],
+                tok_to_str: Dict[int, str], word_start: str) -> bool:
+    """`beam_search_timesync.py:395-422`: walk back to the last word-start
+    piece; at a boundary the PREVIOUS word must be in `words` (or end in
+    a dash), mid-word the partial word must be in `word_prefixes`."""
+    if not prefix:
+        return True
+    last_piece = tok_to_str.get(prefix[-1], "")
+    if last_piece.startswith(word_start):
+        # new word just started: validate the previous word
+        if len(prefix) == 1:
+            return True
+        prev_piece = tok_to_str.get(prefix[-2], "")
+        if prev_piece.endswith("-"):
+            return True
+        word = ""
+        for i in range(2, len(prefix) + 1):
+            piece = tok_to_str.get(prefix[-i], "")
+            word = piece + word
+            if piece.startswith(word_start):
+                break
+        return word.replace(word_start, "") in words \
+            or word in words
+    # mid-word: the running partial word must be a valid prefix
+    word = ""
+    for i in range(1, len(prefix) + 1):
+        piece = tok_to_str.get(prefix[-i], "")
+        word = piece + word
+        if piece.startswith(word_start):
+            break
+    return word.replace(word_start, "") in word_prefixes \
+        or word in word_prefixes

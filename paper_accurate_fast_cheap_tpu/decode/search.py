@@ -203,6 +203,17 @@ def ctc_prefix_beam_search(
     return results
 
 
+def gnmt_length_wu(cur_len: int, alpha: float) -> float:
+    """GNMT length re-ranking divisor (`onmt_translate/penalties.py:89-95`)."""
+    return ((5.0 + cur_len) / 6.0) ** alpha
+
+
+def gnmt_coverage_wu(cov: np.ndarray, beta: float) -> float:
+    """GNMT coverage re-ranking penalty (`penalties.py:63-73`):
+    beta * -sum(log(min(cov, 1)))."""
+    return float(beta * -np.log(np.minimum(cov, 1.0)).sum())
+
+
 def attention_beam_search(
     decoder_one_step,
     enc_out: jax.Array,
@@ -212,11 +223,21 @@ def attention_beam_search(
     beam_size: int = 10,
     max_len: Optional[int] = None,
     length_penalty: float = 0.0,
+    gnmt_alpha: float = 0.0,
+    gnmt_beta: float = 0.0,
+    decoder_one_step_attn=None,
 ) -> List[DecodeResult]:
     """Pure attention AR beam search (`search.py:251-360` semantics).
 
     decoder_one_step(enc (N, T, D), enc_lens (N,), ys (N, U), ys_lens (N,))
     -> last-position log-probs (N, V).  Runs batched over (utt x beam).
+
+    GNMT global scorer (`asr_model.py:988-1079` onmt_attention_decoding +
+    `onmt_translate/penalties.py`): with ``gnmt_alpha`` final scores divide
+    by the length_wu penalty; with ``gnmt_beta`` and a
+    ``decoder_one_step_attn`` callable (also returning per-step cross
+    -attention coverage (N, T_enc)), the coverage_wu penalty is
+    subtracted.
     """
     B, T, D = enc_out.shape
     N = beam_size
@@ -232,12 +253,30 @@ def attention_beam_search(
     finished = np.zeros((B, N), bool)
     fin_hyps: List[List[Tuple[float, List[int]]]] = [[] for _ in range(B)]
 
-    step_fn = jax.jit(decoder_one_step)
+    use_cov = gnmt_beta > 0.0 and decoder_one_step_attn is not None
+    cov = np.zeros((B * N, T), np.float64) if use_cov else None
+    enc_valid = np.asarray(enc_lens)
+
+    def _final_score(s, u_len, coverage, b):
+        if gnmt_alpha or gnmt_beta:
+            out = s / gnmt_length_wu(u_len, gnmt_alpha) if gnmt_alpha else s
+            if use_cov and coverage is not None:
+                out = out - gnmt_coverage_wu(
+                    coverage[: enc_valid[b]], gnmt_beta)
+            return out
+        return s / (u_len ** length_penalty) if length_penalty else s
+
+    step_fn = jax.jit(decoder_one_step_attn if use_cov
+                      else decoder_one_step)
     for u in range(max_len):
-        logp = np.asarray(step_fn(
+        out = step_fn(
             enc_rep, lens_rep, jnp.asarray(ys[:, : u + 1]),
             jnp.full((B * N,), u + 1, jnp.int32),
-        ))  # (B*N, V)
+        )
+        if use_cov:
+            logp, attn = np.asarray(out[0]), np.asarray(out[1])
+        else:
+            logp = np.asarray(out)  # (B*N, V)
         V = logp.shape[-1]
         for b in range(B):
             cand = []
@@ -256,31 +295,38 @@ def attention_beam_search(
             new_ys = ys[b * N : (b + 1) * N].copy()
             new_scores = np.full(N, -np.inf)
             new_fin = np.zeros(N, bool)
+            new_cov = (np.zeros((N, T), np.float64) if use_cov else None)
             kept = 0
             for s, j, tok in cand:
                 if kept >= N:
                     break
+                step_cov = (cov[b * N + j] + attn[b * N + j]
+                            if use_cov else None)
                 if tok == eos:
-                    norm = s / ((u + 1) ** length_penalty) \
-                        if length_penalty else s
                     fin_hyps[b].append(
-                        (norm, [int(x) for x in ys[b * N + j, 1 : u + 1]])
+                        (_final_score(s, u + 1, step_cov, b),
+                         [int(x) for x in ys[b * N + j, 1 : u + 1]])
                     )
                     continue
                 new_ys[kept] = ys[b * N + j]
                 new_ys[kept, u + 1] = tok
                 new_scores[kept] = s
+                if use_cov:
+                    new_cov[kept] = step_cov
                 kept += 1
             ys[b * N : (b + 1) * N] = new_ys
             scores[b] = new_scores
             finished[b] = new_fin
+            if use_cov:
+                cov[b * N : (b + 1) * N] = new_cov
     results = []
     for b in range(B):
         # include unfinished best hypotheses as fallback
         for j in range(N):
             if np.isfinite(scores[b, j]):
                 fin_hyps[b].append(
-                    (scores[b, j],
+                    (_final_score(scores[b, j], max_len,
+                                  cov[b * N + j] if use_cov else None, b),
                      [int(x) for x in ys[b * N + j, 1 : max_len + 1]
                       if x != eos])
                 )
@@ -288,6 +334,34 @@ def attention_beam_search(
         best = fin_hyps[b][0] if fin_hyps[b] else (0.0, [])
         results.append(DecodeResult(tokens=best[1], score=float(best[0])))
     return results
+
+
+def make_gnmt_step_fn(model, params):
+    """Build a decoder_one_step_attn callable for the GNMT coverage path:
+    returns (last-position log-probs (N, V), head-averaged last-layer
+    src-attention at the last position (N, T_enc))."""
+
+    def _find_src_attn(tree, out):
+        if isinstance(tree, dict):
+            for k in sorted(tree.keys()):
+                if k == "src_attn" and "attn_weights" in tree[k]:
+                    out.append(tree[k]["attn_weights"][0])
+                else:
+                    _find_src_attn(tree[k], out)
+
+    def step(enc, enc_lens, ys, ys_lens):
+        logp, mut = model.apply(
+            params, enc, enc_lens, ys, ys_lens,
+            method=model.decoder_one_step_attn,
+            mutable=["intermediates"])
+        found = []
+        _find_src_attn(mut["intermediates"], found)
+        if not found:
+            raise ValueError("no src_attn weights captured")
+        probs = found[-1]                     # last decoder layer
+        return logp, probs[:, :, -1, :].mean(axis=1)
+
+    return step
 
 
 def attention_rescoring_scores(

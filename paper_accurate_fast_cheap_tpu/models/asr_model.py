@@ -137,6 +137,15 @@ class ASRModel(nn.Module):
                                 deterministic=True)
         return self.encoder(feats, feat_lens, deterministic=True)
 
+    def decoder_one_step_attn(self, enc, enc_lens, ys, ys_lens):
+        """AR decoder step surface for the GNMT coverage scorer
+        (`asr_model.py:1051` forward_one_step_with_attn role; decoder.py
+        is missing from the release, so the attn definition is ours: the
+        cross-attention weights are exposed via `sow('intermediates')` —
+        apply with mutable=["intermediates"] or use
+        `decode.search.make_gnmt_step_fn`)."""
+        return self.decoder.forward_one_step(enc, enc_lens, ys, ys_lens)
+
     def ctc_logprobs(self, enc_out, blank_penalty: float = 0.0,
                      blank_id: int = 0):
         logits = self.ctc(enc_out, deterministic=True)

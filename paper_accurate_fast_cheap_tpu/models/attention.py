@@ -61,6 +61,10 @@ class MultiHeadedAttention(nn.Module):
             m = mask[:, None] if mask.ndim == 3 else mask
             probs = jnp.where(m, probs, 0.0)
         probs = self.attn_dropout(probs, deterministic=deterministic)
+        # expose weights for coverage-style scorers (GNMT coverage_wu);
+        # collected only when the caller applies with
+        # mutable/capture 'intermediates'
+        self.sow("intermediates", "attn_weights", probs)
         out = jnp.einsum("bhts,bshd->bthd", probs, v)
         B, Tq = out.shape[:2]
         return self.linear_out(out.reshape(B, Tq, self.d_model))

@@ -132,3 +132,42 @@ def test_dynamic_batch_one_utt_per_job():
     for b in batches:
         jobs = [s["job"] for s in b]
         assert len(jobs) == len(set(jobs))
+
+
+def test_joint_decoding_lexicon_constraint():
+    """Lexicon constraint (`beam_search_timesync.py:395-422`): an invalid
+    word is excluded when the lexicon forbids it, kept without the
+    constraint; the fallback keeps search alive if everything is pruned."""
+    import jax.numpy as jnp
+
+    from paper_accurate_fast_cheap_tpu.decode.joint_decoding import (
+        joint_decoding,
+    )
+
+    # vocab: 0 blank, 1 '▁cat', 2 '▁dog', 3 'x' (continuation)
+    V, T = 4, 6
+    tok_to_str = {1: "▁cat", 2: "▁dog", 3: "x"}
+    ctc = np.full((T, V), -10.0, np.float32)
+    # CTC wants: ▁cat x  ("catx") — not a lexicon word
+    for t, tok in enumerate([1, 1, 3, 0, 0, 0]):
+        ctc[t, tok] = 0.0
+
+    def decoder_one_step(enc, enc_lens, ys, ys_lens):
+        return jnp.zeros((ys.shape[0], V))  # uniform attention scores
+
+    enc = jnp.zeros((1, T, 4))
+    kw = dict(sos=0, eos=0, beam_size=4, ctc_weight=1.0, att_weight=0.0)
+    free = joint_decoding(decoder_one_step, enc, jnp.asarray([T]), ctc,
+                          **kw)
+    assert free.tokens == [1, 3]  # unconstrained: 'catx'
+    constrained = joint_decoding(
+        decoder_one_step, enc, jnp.asarray([T]), ctc,
+        words={"cat": 0, "dog": 1}, word_prefixes={"cat": 0, "dog": 1},
+        tok_to_str=tok_to_str, **kw)
+    # 'catx' is not a valid prefix -> pruned; best valid is 'cat'
+    assert constrained.tokens == [1], constrained.tokens
+    # fallback: lexicon that rejects everything still yields a result
+    fallback = joint_decoding(
+        decoder_one_step, enc, jnp.asarray([T]), ctc,
+        words={}, word_prefixes={}, tok_to_str=tok_to_str, **kw)
+    assert fallback.tokens  # non-empty despite total rejection
