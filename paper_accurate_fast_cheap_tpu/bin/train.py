@@ -38,6 +38,13 @@ def get_args(argv=None):
     p.add_argument("--multichip", action="store_true",
                    help="shard batches over all local devices")
     p.add_argument("--print_model", action="store_true")
+    # wandb system-of-record (`train_utils.py:506-544`, `checkpoint.py:
+    # 266-291`); all gated on wandb importability
+    p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--wandb_project", default=None)
+    p.add_argument("--load_from_wandb", default=None,
+                   help="wandb project to resume from (latest optimizer-"
+                        "bearing snapshot artifact)")
     return p.parse_args(argv)
 
 
@@ -128,6 +135,18 @@ def main(argv=None):
     state = ts.init_train_state(params, optimizer)
 
     start_epoch = 0
+    if args.load_from_wandb and not args.checkpoint:
+        from paper_accurate_fast_cheap_tpu.train.metrics_logger import (
+            download_checkpoint_from_wandb,
+        )
+
+        fetched = download_checkpoint_from_wandb(args.load_from_wandb)
+        if fetched:
+            args.checkpoint = fetched
+            logging.info("resuming from wandb snapshot %s", fetched)
+        else:
+            logging.warning("--load_from_wandb: no snapshot found "
+                            "(or wandb unavailable); fresh start")
     if args.checkpoint:
         params, opt, info = checkpointing.load_checkpoint(
             args.checkpoint, state.params, state.opt_state
@@ -163,7 +182,20 @@ def main(argv=None):
         MetricsLogger,
     )
 
-    logger = MetricsLogger(os.path.join(args.model_dir, "logs"))
+    logger = MetricsLogger(os.path.join(args.model_dir, "logs"),
+                           use_wandb=args.use_wandb,
+                           wandb_config={"project": args.wandb_project,
+                                         "config": config})
+    if args.use_wandb:
+        # run provenance: code tree + data lists + tokenizer files
+        tok_conf = config.get("tokenizer_conf", {})
+        logger.log_run_artifacts(
+            code_dir=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))),
+            data_lists=[args.train_data, args.cv_data],
+            tokenizer_files=[tok_conf.get("symbol_table_path"),
+                             tok_conf.get("bpe_path")],
+        )
     snap_conf = config.get("snapshot_saving_conf", {})
     ex = executor_lib.Executor(
         jit_step, eval_loss, featurize,

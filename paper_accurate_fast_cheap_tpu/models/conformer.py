@@ -293,14 +293,21 @@ class ConformerEncoder(nn.Module):
         offset: int = 0,
         att_cache_size: int = 0,
         cat_embs=None,
+        pre_embedded: bool = False,
     ):
         rwkv_conf = dict(self.rwkv_conf or {})
-        sub = SUBSAMPLE_CLASSES[self.input_layer](
-            idim=self.input_size, odim=self.output_size,
-            dropout_rate=self.dropout_rate, name="embed",
-        )
-        xs, out_lens = sub(xs, xs_lens, deterministic=deterministic)
-        out_lens = jnp.minimum(out_lens, xs.shape[1])
+        if pre_embedded:
+            # xs is already at the post-subsampling frame rate/width (the
+            # SSL block-split tap: `w2vbert_model.py _forward_encoder_
+            # blocks` masks AFTER `_forward_subsampling`)
+            out_lens = jnp.minimum(jnp.asarray(xs_lens), xs.shape[1])
+        else:
+            sub = SUBSAMPLE_CLASSES[self.input_layer](
+                idim=self.input_size, odim=self.output_size,
+                dropout_rate=self.dropout_rate, name="embed",
+            )
+            xs, out_lens = sub(xs, xs_lens, deterministic=deterministic)
+            out_lens = jnp.minimum(out_lens, xs.shape[1])
         pos_cls = EMB_CLASSES[self.pos_enc_layer_type]
         xs, pos_emb = pos_cls(
             d_model=self.output_size,

@@ -33,7 +33,7 @@ class ProductQuantizer(nn.Module):
 
     @nn.compact
     def __call__(self, x, rng, temperature: float = 2.0,
-                 hard: bool = True):
+                 hard: bool = True, return_ids: bool = False):
         B, T, D = x.shape
         logits = nn.Dense(self.groups * self.entries, name="proj")(x)
         logits = logits.reshape(B, T, self.groups, self.entries)
@@ -57,6 +57,9 @@ class ProductQuantizer(nn.Module):
         probs = jax.nn.softmax(logits, axis=-1).mean(axis=(0, 1))
         entropy = -jnp.sum(probs * jnp.log(probs + 1e-8), axis=-1)
         diversity = 1.0 - entropy.mean() / jnp.log(self.entries)
+        if return_ids:
+            # codebook ids (B, T, groups) — W2V-BERT's MLM targets
+            return q, diversity, jnp.argmax(logits, axis=-1)
         return q, diversity
 
 

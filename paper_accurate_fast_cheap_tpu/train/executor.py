@@ -134,6 +134,9 @@ class Executor:
         checkpointing.save_checkpoint(
             path, state.params, state.opt_state if with_opt else None, info
         )
+        if self.metrics_logger is not None:
+            self.metrics_logger.log_checkpoint(path, metadata=info,
+                                               with_optimizer=with_opt)
 
     def cv(self, params, batches: Iterable[Dict[str, np.ndarray]]):
         total, count = 0.0, 0

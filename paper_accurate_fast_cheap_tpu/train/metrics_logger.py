@@ -1,10 +1,13 @@
-"""Training metrics logging: JSONL + optional TensorBoard.
+"""Training metrics logging: JSONL + optional TensorBoard + wandb.
 
-Parity target: `wenet/utils/train_utils.py:497-503,732-796` (tensorboardX +
-wandb per-step losses/lr/grad-norm/frames-seen).  Here: an append-only JSONL
-file as the system of record (greppable, survives crashes) with an optional
-TensorBoard writer (torch.utils.tensorboard is available in-image); wandb
-is gated on importability.
+Parity targets: `wenet/utils/train_utils.py:497-503,732-796` (tensorboardX
++ wandb per-step losses/lr/grad-norm/frames-seen), `:506-544` (wandb as
+system of record: code-tree / data-list / tokenizer artifacts),
+`wenet/utils/checkpoint.py:180-190` (snapshot artifacts with metadata) and
+`:266-291` (resume from the latest optimizer-bearing snapshot artifact).
+Here: an append-only JSONL file as the local system of record (greppable,
+survives crashes) with optional TensorBoard; every wandb feature is gated
+on importability.
 """
 from __future__ import annotations
 
@@ -54,6 +57,57 @@ class MetricsLogger:
         if self._wandb:
             self._wandb.log(rec, step=step)
 
+    def log_artifact(self, name: str, path: str, type_: str = "file",
+                     metadata: Optional[Dict] = None,
+                     aliases: Optional[list] = None):
+        """Upload a file/dir as a wandb artifact (`train_utils.py:506-544`,
+        `checkpoint.py:180-190`).  No-op without wandb."""
+        if not self._wandb:
+            return
+        art = self._wandb.Artifact(name, type=type_,
+                                   metadata=metadata or {})
+        if os.path.isdir(path):
+            art.add_dir(path)
+        else:
+            art.add_file(path)
+        self._wandb.log_artifact(art, aliases=aliases)
+
+    def log_run_artifacts(self, code_dir: Optional[str] = None,
+                          data_lists: Optional[list] = None,
+                          tokenizer_files: Optional[list] = None):
+        """One-time run provenance uploads (`train_utils.py:506-544`:
+        code tree, train/cv data lists, tokenizer model)."""
+        if not self._wandb:
+            return
+        if code_dir:
+            self.log_artifact("code", code_dir, type_="code")
+        for pth in data_lists or []:
+            if pth and os.path.exists(pth):
+                self.log_artifact(os.path.basename(pth), pth,
+                                  type_="data_list")
+        for pth in tokenizer_files or []:
+            if pth and os.path.exists(pth):
+                self.log_artifact(os.path.basename(pth), pth,
+                                  type_="tokenizer")
+
+    def log_checkpoint(self, path: str, metadata: Optional[Dict] = None,
+                       with_optimizer: bool = False):
+        """Snapshot artifact with sidecar metadata
+        (`checkpoint.py:180-190`)."""
+        if not self._wandb:
+            return
+        meta = dict(metadata or {})
+        meta["with_optimizer"] = with_optimizer
+        aliases = ["latest"] + (["latest-optimizer"] if with_optimizer
+                                else [])
+        art = self._wandb.Artifact(
+            os.path.basename(path.rstrip("/")), type="model",
+            metadata=meta)
+        art.add_dir(path)
+        if os.path.exists(path + ".yaml"):   # sidecar info travels along
+            art.add_file(path + ".yaml")
+        self._wandb.log_artifact(art, aliases=aliases)
+
     def close(self):
         if self._jsonl:
             self._jsonl.close()
@@ -61,3 +115,31 @@ class MetricsLogger:
             self._tb.close()
         if self._wandb:
             self._wandb.finish()
+
+
+def download_checkpoint_from_wandb(project: str, entity: str = None,
+                                   run_id: str = None,
+                                   dest: str = "wandb_ckpt"):
+    """Fetch the latest optimizer-bearing snapshot artifact for resume
+    (`checkpoint.py:266-291`).  Returns the local checkpoint path or None
+    when wandb (or the artifact) is unavailable."""
+    try:
+        import wandb
+    except ImportError:
+        return None
+    api = wandb.Api()
+    path = "/".join(x for x in (entity, project) if x)
+    runs = [api.run(f"{path}/{run_id}")] if run_id else api.runs(path)
+    best = None
+    for run in runs:
+        for art in run.logged_artifacts():
+            if art.type != "model":
+                continue
+            if not art.metadata.get("with_optimizer", False):
+                continue
+            step = art.metadata.get("step", -1)
+            if best is None or step > best[0]:
+                best = (step, art)
+    if best is None:
+        return None
+    return best[1].download(root=dest)

@@ -215,3 +215,42 @@ def test_wav2vec2_ssl():
                                        jax.random.PRNGKey(3),
                                        True)["loss"])(params)
     assert np.isfinite(np.asarray(jax.tree.leaves(g)[0])).all()
+
+
+def test_w2vbert_ssl():
+    """W2V-BERT (`wenet/ssl/w2vbert/w2vbert_model.py`): contrastive +
+    MLM losses both finite and differentiable; MLM weight ramps with
+    steps (`:228-231`)."""
+    from paper_accurate_fast_cheap_tpu.models.ssl_w2vbert import (
+        W2VBertModel,
+    )
+
+    model = W2VBertModel(
+        encoder_conf=dict(input_size=16, output_size=32, attention_heads=2,
+                          linear_units=64, num_blocks=2,
+                          input_layer="linear",
+                          selfattention_layer_type="rel_selfattn",
+                          dropout_rate=0.0),
+        proj_dim=16, num_negatives=8, mask_prob=0.2, mask_length=3,
+        contrastive_blocks=1, warmup_steps=100,
+    )
+    feats = jax.random.normal(jax.random.PRNGKey(0), (2, 40, 16))
+    lens = jnp.asarray([40, 30])
+    params = model.init(jax.random.PRNGKey(1), feats, lens,
+                        jax.random.PRNGKey(2), 0, True)
+    out = model.apply(params, feats, lens, jax.random.PRNGKey(3), 0, True)
+    for k in ("loss", "loss_contrastive", "loss_mlm", "codes_acc"):
+        assert np.isfinite(float(out[k])), k
+    assert int(out["num_masked"]) > 0
+    # the MLM ramp: a late step weighs loss_mlm more heavily
+    out_late = model.apply(params, feats, lens, jax.random.PRNGKey(3),
+                           1000, True)
+    early_total = float(out["loss"])
+    late_total = float(out_late["loss"])
+    lm = float(out["loss_mlm"])
+    np.testing.assert_allclose(late_total - early_total, 0.9 * lm,
+                               rtol=1e-4)
+    g = jax.grad(lambda p: model.apply(p, feats, lens,
+                                       jax.random.PRNGKey(3),
+                                       0, True)["loss"])(params)
+    assert np.isfinite(np.asarray(jax.tree.leaves(g)[0])).all()

@@ -119,3 +119,30 @@ def test_whisper_greedy_decode():
                                  sot_sequence=[sot], eot_id=eot,
                                  max_len=10)
     assert hyps[0] == target
+
+
+def test_k2_gate_both_branches(tmp_path, monkeypatch):
+    """The gate must not punish having k2 (round-1 weak #7): absent ->
+    CTC fallback; present-but-no-fst -> CTC fallback (no raise); and
+    export_posteriors round-trips."""
+    import numpy as np
+
+    from paper_accurate_fast_cheap_tpu.models import k2_model
+
+    rng = np.random.RandomState(0)
+    logp = rng.randn(1, 6, 5).astype(np.float32)
+    logp = logp - np.log(np.exp(logp).sum(-1, keepdims=True))
+    lens = np.asarray([6])
+    # absent branch
+    res = k2_model.hlg_onebest(logp, lens, hlg_path="/nonexistent.pt")
+    assert res and isinstance(res[0].tokens, list)
+    # "present" branch without an fst: still falls back, never raises
+    monkeypatch.setattr(k2_model, "k2_available", lambda: True)
+    res2 = k2_model.hlg_onebest(logp, lens, hlg_path=None)
+    assert res2[0].tokens == res[0].tokens
+    # posterior export for the external icefall path
+    out = tmp_path / "post.npz"
+    k2_model.export_posteriors(str(out), logp, lens, keys=["utt1"])
+    loaded = np.load(str(out))
+    np.testing.assert_array_equal(loaded["ctc_logp"], logp)
+    assert list(loaded["keys"]) == ["utt1"]
