@@ -559,6 +559,89 @@ def dynamic_batch(samples, max_frames_in_batch: int = 12000,
         yield buf
 
 
+def _job_id(key: str) -> Optional[str]:
+    """`datapipes.py:241-245`: rev job id = first two dot-separated
+    fields of the utterance key."""
+    parts = key.split(".")
+    if len(parts) >= 3:
+        return parts[0] + "." + parts[1]
+    return None
+
+
+def distribute_batch(samples, max_frames_in_batch: int = 12000,
+                     one_utt_per_job: bool = True,
+                     max_words_per_epoch: int = -1,
+                     max_words_per_batch: int = -1,
+                     stats: Optional[Dict] = None):
+    """The `batch_type: distribute` load balancer
+    (`DistributeBatchDataPipe`, `datapipes.py:207-331`), exact semantics:
+
+    * one utterance per rev job *per batch* (``_send_utt`` resets at each
+      batch boundary);
+    * per-WORD occurrence caps: an utterance is accepted iff ANY of its
+      words is still under the cap; accepted utterances bump every word's
+      count.  ``batch_words`` resets per batch, ``epoch_words`` persists
+      for the whole pass;
+    * violations DROP the utterance (the reference counts drop_utts /
+      drop_frames; exposed here via ``stats``);
+    * frame window = DynamicBatchWindow (`processor.py:767-783`).
+
+    Deliberate deviation: the reference discards the element that trips
+    the frame window (`datapipes.py:313-325` never re-appends it) — one
+    lost utterance per batch boundary.  We start the next batch with it.
+    """
+    if stats is None:
+        stats = {}
+    stats.setdefault("drop_utts", 0)
+    stats.setdefault("drop_frames", 0)
+    buf: List[Dict] = []
+    longest = 0
+    send_utt = set()
+    epoch_words: Dict[str, int] = {}
+    batch_words: Dict[str, int] = {}
+    for s in samples:
+        frames = compute_num_frames(len(s["wav"]), s["sample_rate"])
+        wds = s.get("txt", "").split(" ")
+        job = _job_id(s.get("key", ""))
+        if one_utt_per_job and job is not None and job in send_utt:
+            stats["drop_utts"] += 1
+            stats["drop_frames"] += frames
+            continue
+        if max_words_per_epoch > 0 and not any(
+                epoch_words.get(w, 0) < max_words_per_epoch for w in wds):
+            stats["drop_utts"] += 1
+            stats["drop_frames"] += frames
+            continue
+        if max_words_per_batch > 0 and not any(
+                batch_words.get(w, 0) < max_words_per_batch for w in wds):
+            stats["drop_utts"] += 1
+            stats["drop_frames"] += frames
+            continue
+        if one_utt_per_job and job is not None:
+            send_utt.add(job)
+        if max_words_per_epoch > 0:
+            for w in wds:
+                epoch_words[w] = epoch_words.get(w, 0) + 1
+        if max_words_per_batch > 0:
+            for w in wds:
+                batch_words[w] = batch_words.get(w, 0) + 1
+        longest_new = max(longest, frames)
+        if buf and longest_new * (len(buf) + 1) > max_frames_in_batch:
+            yield buf
+            buf, longest = [s], frames
+            batch_words = {}
+            send_utt = {job} if (one_utt_per_job and job is not None) \
+                else set()
+            if max_words_per_batch > 0:
+                for w in wds:
+                    batch_words[w] = batch_words.get(w, 0) + 1
+        else:
+            buf.append(s)
+            longest = longest_new
+    if buf:
+        yield buf
+
+
 def bucket_pad_length(n: int, buckets: Optional[List[int]] = None,
                       quantum: int = 16000) -> int:
     """Quantize padded lengths to a small set of shapes so XLA does not
@@ -671,12 +754,16 @@ def build_dataset(
     btype = bc.get("batch_type", "static")
     if btype == "static":
         batches = static_batch(stream, bc.get("batch_size", 16))
-    elif btype in ("dynamic", "distribute"):
+    elif btype == "distribute":
+        batches = distribute_batch(
+            stream, bc.get("max_frames_in_batch", 12000),
+            one_utt_per_job=bc.get("one_utt_per_job", True),
+            max_words_per_epoch=bc.get("max_words_per_epoch", -1),
+            max_words_per_batch=bc.get("max_words_per_batch", -1))
+    elif btype == "dynamic":
         batches = dynamic_batch(
             stream, bc.get("max_frames_in_batch", 12000),
-            bc.get("max_words_in_batch", 0),
-            one_utt_per_job=(btype == "distribute"
-                             and bc.get("one_utt_per_job", False)))
+            bc.get("max_words_in_batch", 0))
     else:
         raise ValueError(f"unknown batch_type {btype!r}")
     gen = (collate(b) for b in batches)
