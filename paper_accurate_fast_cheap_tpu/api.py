@@ -54,6 +54,55 @@ class Model:
             build_decode_assets(config, checkpoint)
         return cls(config, tokenizer, model, model_type, params, featurize)
 
+    def transcribe_batch(
+        self,
+        wavs,
+        mode: str = "ctc_greedy_search",
+        beam_size: int = 8,
+    ):
+        """Batched decode of float waveforms (16 kHz, [-1, 1]): one
+        featurize + encoder + search call over the whole batch, with
+        bucketed padding to bound XLA recompiles.  This is the serving
+        micro-batcher's entry (`bin/serve.py`)."""
+        from paper_accurate_fast_cheap_tpu.data.pipeline import (
+            bucket_pad_length,
+        )
+        from paper_accurate_fast_cheap_tpu.decode import rnnt_search, search
+
+        B = len(wavs)
+        S = bucket_pad_length(max(len(w) for w in wavs), None, 16000)
+        batch = np.zeros((B, S), np.float32)
+        lens = np.zeros((B,), np.int32)
+        for i, w in enumerate(wavs):
+            batch[i, : len(w)] = w
+            lens[i] = len(w)
+        feats, feat_lens = self.featurize(
+            jnp.asarray(batch), jnp.asarray(lens), train=False)
+        enc, enc_lens = self._fwd(self.params, feats, feat_lens)
+        logp = self._ctc(self.params, enc)
+        logp_np, lens_np = np.asarray(logp), np.asarray(enc_lens)
+        if mode == "ctc_greedy_search":
+            res = search.ctc_greedy_search(logp_np, lens_np)
+        elif mode == "ctc_prefix_beam_search":
+            res = search.ctc_prefix_beam_search(logp_np, lens_np,
+                                                beam_size=beam_size)
+        elif mode == "rnnt_beam_search":
+            assert self.model_type == "transducer"
+            m, p = self.model, self.params
+            predictor_step = jax.jit(
+                lambda tok, st: m.apply(p, tok, st,
+                                        method=m.predictor_step))
+            joint_step = jax.jit(
+                lambda e, pr: m.apply(p, e, pr, method=m.joint_step))
+            init_state_fn = functools.partial(
+                m.apply, p, method=m.predictor_init_state)
+            res = rnnt_search.rnnt_beam_search(
+                predictor_step, joint_step, init_state_fn, enc, enc_lens,
+                logp, beam_size=beam_size)
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        return [self.tokenizer.detokenize(r.tokens)[0] for r in res]
+
     def transcribe(
         self,
         audio: Union[str, np.ndarray],

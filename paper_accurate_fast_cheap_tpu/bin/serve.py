@@ -14,7 +14,11 @@ codec, threaded) serving the same protocol:
 
 Decoding: audio is accumulated and decoded with the loaded model
 (`api.Model`); partial results are emitted every ``--partial_interval``
-seconds of received audio.
+seconds of received audio.  Decodes from concurrent connections are
+MICRO-BATCHED: a single worker thread owns the TPU, drains the request
+queue, groups same-mode requests (up to ``--max_batch``) and runs one
+batched decode — connections never serialize behind a per-request lock
+(round-1 weak #8).
 """
 from __future__ import annotations
 
@@ -102,10 +106,59 @@ def websocket_handshake(sock) -> bool:
     return True
 
 
+class DecodeWorker:
+    """Single TPU-owning thread that micro-batches decode requests."""
+
+    def __init__(self, model, max_batch: int = 8,
+                 max_wait_s: float = 0.01):
+        import queue
+
+        self.model = model
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_s
+        self.q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def decode(self, pcm: bytes, mode: str) -> str:
+        import concurrent.futures
+
+        fut: "concurrent.futures.Future" = concurrent.futures.Future()
+        self.q.put((pcm, mode, fut))
+        return fut.result()
+
+    def _run(self):
+        import queue
+
+        while True:
+            pcm, mode, fut = self.q.get()
+            group = [(pcm, mode, fut)]
+            # drain same-mode requests briefly to form a batch
+            deadline = self.max_wait_s
+            while len(group) < self.max_batch:
+                try:
+                    item = self.q.get(timeout=deadline)
+                except queue.Empty:
+                    break
+                if item[1] != mode:
+                    self.q.put(item)   # different mode: next round
+                    break
+                group.append(item)
+            wavs = [np.frombuffer(g[0], np.int16).astype(np.float32)
+                    / 32768.0 for g in group]
+            try:
+                texts = self.model.transcribe_batch(wavs, mode=mode)
+                for (_, _, f), text in zip(group, texts):
+                    f.set_result(text)
+            except Exception as e:  # noqa: BLE001
+                for _, _, f in group:
+                    if not f.done():
+                        f.set_exception(e)
+
+
 class ASRHandler(socketserver.BaseRequestHandler):
     def handle(self):
-        model = self.server.asr_model
-        lock = self.server.model_lock
+        worker = self.server.decode_worker
         partial_interval = self.server.partial_interval
         sock = self.request
         if not websocket_handshake(sock):
@@ -128,7 +181,7 @@ class ASRHandler(socketserver.BaseRequestHandler):
                             {"status": "ok",
                              "type": "server_ready"}).encode())
                     elif msg.get("signal") == "end":
-                        text = self._decode(model, lock, pcm, mode)
+                        text = self._decode(worker, pcm, mode)
                         write_frame(sock, json.dumps(
                             {"status": "ok", "type": "final_result",
                              "nbest": text}).encode())
@@ -140,7 +193,7 @@ class ASRHandler(socketserver.BaseRequestHandler):
                         partial_interval * 16000
                     ):
                         last_partial_samples = n
-                        text = self._decode(model, lock, pcm, mode)
+                        text = self._decode(worker, pcm, mode)
                         write_frame(sock, json.dumps(
                             {"status": "ok", "type": "partial_result",
                              "nbest": text}).encode())
@@ -155,13 +208,10 @@ class ASRHandler(socketserver.BaseRequestHandler):
                 pass
 
     @staticmethod
-    def _decode(model, lock, pcm: bytes, mode: str) -> str:
+    def _decode(worker, pcm: bytes, mode: str) -> str:
         if len(pcm) < 2 * 400:
             return ""
-        wav = np.frombuffer(pcm, np.int16).astype(np.float32) / 32768.0
-        with lock:
-            out = model.transcribe(wav, mode=mode)
-        return out["text"]
+        return worker.decode(pcm, mode)
 
 
 class ASRServer(socketserver.ThreadingTCPServer):
@@ -170,10 +220,10 @@ class ASRServer(socketserver.ThreadingTCPServer):
 
 
 def serve(model, host: str = "0.0.0.0", port: int = 10086,
-          partial_interval: float = 2.0):
+          partial_interval: float = 2.0, max_batch: int = 8):
     srv = ASRServer((host, port), ASRHandler)
     srv.asr_model = model
-    srv.model_lock = threading.Lock()
+    srv.decode_worker = DecodeWorker(model, max_batch=max_batch)
     srv.partial_interval = partial_interval
     log.info("serving on ws://%s:%d", host, port)
     return srv
@@ -186,12 +236,15 @@ def main(argv=None):
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=10086)
     p.add_argument("--partial_interval", type=float, default=2.0)
+    p.add_argument("--max_batch", type=int, default=8,
+                   help="micro-batch cap across concurrent connections")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     from paper_accurate_fast_cheap_tpu.api import load_model
 
     model = load_model(args.model_dir, args.checkpoint)
-    srv = serve(model, args.host, args.port, args.partial_interval)
+    srv = serve(model, args.host, args.port, args.partial_interval,
+                max_batch=args.max_batch)
     srv.serve_forever()
     return 0
 

@@ -146,3 +146,36 @@ def test_k2_gate_both_branches(tmp_path, monkeypatch):
     loaded = np.load(str(out))
     np.testing.assert_array_equal(loaded["ctc_logp"], logp)
     assert list(loaded["keys"]) == ["utt1"]
+
+
+def test_decode_worker_microbatches():
+    """Concurrent same-mode requests are grouped into ONE batched decode
+    (no per-request serialization — round-1 weak #8)."""
+    import threading
+    import time
+
+    from paper_accurate_fast_cheap_tpu.bin.serve import DecodeWorker
+
+    calls = []
+
+    class FakeModel:
+        def transcribe_batch(self, wavs, mode="ctc_greedy_search"):
+            calls.append(len(wavs))
+            time.sleep(0.02)
+            return [f"text{len(w)}" for w in wavs]
+
+    worker = DecodeWorker(FakeModel(), max_batch=8, max_wait_s=0.05)
+    pcm = (np.zeros(800, np.int16)).tobytes()
+    results = [None] * 6
+
+    def req(i):
+        results[i] = worker.decode(pcm + b"\x00\x00" * i, "ctc_greedy_search")
+
+    threads = [threading.Thread(target=req, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r is not None for r in results)
+    assert max(calls) >= 2  # at least one real micro-batch formed
+    assert sum(calls) == 6
