@@ -52,6 +52,12 @@ class ConvolutionalGatingMLP(nn.Module):
 
 
 class BranchformerLayer(nn.Module):
+    """One branchformer block (`branchformer/encoder_layer.py`):
+    attention + cgMLP branches, merge by concat / learned_ave /
+    fixed_ave (`:170-219`), optional attention-branch dropout
+    (`:176-180`), stochastic depth (`:142-146`), optional single-branch
+    operation (use_attn / use_cgmlp), e-branchformer extras."""
+
     d_model: int
     heads: int
     cgmlp_hidden: int
@@ -61,6 +67,12 @@ class BranchformerLayer(nn.Module):
     merge_conv_kernel: int = 0  # >0: e-branchformer depthwise merge
     use_ffn: bool = False       # e-branchformer macaron FFNs
     ffn_hidden: int = 2048
+    use_attn: bool = True
+    use_cgmlp: bool = True
+    merge_method: str = "concat"    # concat | learned_ave | fixed_ave
+    cgmlp_weight: float = 0.5       # fixed_ave only
+    attn_branch_drop_rate: float = 0.0   # learned_ave only, training
+    stochastic_depth_rate: float = 0.0
 
     @nn.compact
     def __call__(self, x, att_mask=None, pos_emb=None, pad_mask=None,
@@ -68,38 +80,92 @@ class BranchformerLayer(nn.Module):
         drop = lambda v: nn.Dropout(self.dropout_rate)(
             v, deterministic=deterministic
         )
+        # stochastic depth (`encoder_layer.py:142-146`): skip the whole
+        # layer with prob p during training, rescale residual by 1/(1-p)
+        coeff = 1.0
+        skip_layer = False
+        if not deterministic and self.stochastic_depth_rate > 0:
+            skip_layer = jax.random.bernoulli(
+                self.make_rng("dropout"), self.stochastic_depth_rate)
+            coeff = 1.0 / (1.0 - self.stochastic_depth_rate)
+        x_in = x
         if self.use_ffn:
             res = x
             y = nn.LayerNorm(epsilon=1e-5, name="norm_ff_macaron")(x)
             y = PositionwiseFeedForward(
                 self.d_model, self.ffn_hidden, self.dropout_rate,
                 name="feed_forward_macaron")(y, deterministic=deterministic)
-            x = res + 0.5 * drop(y)
+            x = res + coeff * 0.5 * drop(y)
 
         res = x
-        # attention branch
-        y1 = nn.LayerNorm(epsilon=1e-5, name="norm_mha")(x)
-        y1 = att_mod.RelPositionMultiHeadedAttention(
-            heads=self.heads, d_model=self.d_model,
-            dropout_rate=self.attention_dropout_rate, name="attn",
-        )(y1, y1, att_mask, pos_emb, deterministic=deterministic)
-        # cgMLP branch
-        y2 = nn.LayerNorm(epsilon=1e-5, name="norm_mlp")(x)
-        y2 = ConvolutionalGatingMLP(
-            d_model=self.d_model, hidden=self.cgmlp_hidden,
-            kernel_size=self.kernel_size, dropout_rate=self.dropout_rate,
-            name="cgmlp",
-        )(y2, pad_mask, deterministic=deterministic)
+        y1 = y2 = None
+        if self.use_attn:
+            y1 = nn.LayerNorm(epsilon=1e-5, name="norm_mha")(x)
+            y1 = att_mod.RelPositionMultiHeadedAttention(
+                heads=self.heads, d_model=self.d_model,
+                dropout_rate=self.attention_dropout_rate, name="attn",
+            )(y1, y1, att_mask, pos_emb, deterministic=deterministic)
+            y1 = drop(y1)
+        if self.use_cgmlp:
+            y2 = nn.LayerNorm(epsilon=1e-5, name="norm_mlp")(x)
+            y2 = ConvolutionalGatingMLP(
+                d_model=self.d_model, hidden=self.cgmlp_hidden,
+                kernel_size=self.kernel_size,
+                dropout_rate=self.dropout_rate, name="cgmlp",
+            )(y2, pad_mask, deterministic=deterministic)
+            y2 = drop(y2)
 
-        merged = jnp.concatenate([drop(y1), drop(y2)], axis=-1)
-        if self.merge_conv_kernel > 0:
-            h = (self.merge_conv_kernel - 1) // 2
-            merged = merged + nn.Conv(
-                2 * self.d_model, (self.merge_conv_kernel,),
-                padding=((h, h),), feature_group_count=2 * self.d_model,
-                name="merge_conv",
-            )(merged)
-        x = res + drop(nn.Dense(self.d_model, name="merge_proj")(merged))
+        if y1 is not None and y2 is not None:
+            if self.merge_method == "concat":
+                merged = jnp.concatenate([y1, y2], axis=-1)
+                if self.merge_conv_kernel > 0:
+                    h = (self.merge_conv_kernel - 1) // 2
+                    merged = merged + nn.Conv(
+                        2 * self.d_model, (self.merge_conv_kernel,),
+                        padding=((h, h),),
+                        feature_group_count=2 * self.d_model,
+                        name="merge_conv",
+                    )(merged)
+                m = nn.Dense(self.d_model, name="merge_proj")(merged)
+            elif self.merge_method == "learned_ave":
+                # attention-pooled per-branch scalar weights
+                # (`encoder_layer.py:180-213`)
+                scale = self.d_model ** 0.5
+
+                def pooled_weight(y, proj_name, wname):
+                    score = nn.Dense(1, name=proj_name)(y)[..., 0] / scale
+                    if pad_mask is not None:
+                        score = jnp.where(pad_mask, score, -jnp.inf)
+                    p = jax.nn.softmax(score, axis=-1)
+                    if pad_mask is not None:
+                        p = jnp.where(pad_mask, p, 0.0)
+                    pooled = jnp.einsum("bt,btd->bd", p, y)
+                    return nn.Dense(1, name=wname)(pooled)  # (B, 1)
+
+                w1 = pooled_weight(y1, "pooling_proj1", "weight_proj1")
+                w2 = pooled_weight(y2, "pooling_proj2", "weight_proj2")
+                mw = jax.nn.softmax(
+                    jnp.concatenate([w1, w2], axis=-1), axis=-1)
+                w1, w2 = mw[:, 0:1, None], mw[:, 1:2, None]
+                if not deterministic and self.attn_branch_drop_rate > 0:
+                    drop_attn = jax.random.bernoulli(
+                        self.make_rng("dropout"),
+                        self.attn_branch_drop_rate)
+                    w1 = jnp.where(drop_attn, 0.0, w1)
+                    w2 = jnp.where(drop_attn, 1.0, w2)
+                m = nn.Dense(self.d_model, name="merge_proj")(
+                    w1 * y1 + w2 * y2)
+            elif self.merge_method == "fixed_ave":
+                m = nn.Dense(self.d_model, name="merge_proj")(
+                    (1.0 - self.cgmlp_weight) * y1
+                    + self.cgmlp_weight * y2)
+            else:
+                raise ValueError(
+                    f"unknown merge method {self.merge_method!r}")
+        else:
+            m = nn.Dense(self.d_model, name="merge_proj")(
+                y1 if y2 is None else y2)
+        x = res + coeff * drop(m)
 
         if self.use_ffn:
             res = x
@@ -107,8 +173,11 @@ class BranchformerLayer(nn.Module):
             y = PositionwiseFeedForward(
                 self.d_model, self.ffn_hidden, self.dropout_rate,
                 name="feed_forward")(y, deterministic=deterministic)
-            x = res + 0.5 * drop(y)
-        return nn.LayerNorm(epsilon=1e-5, name="norm_final")(x)
+            x = res + coeff * 0.5 * drop(y)
+        out = nn.LayerNorm(epsilon=1e-5, name="norm_final")(x)
+        if not deterministic and self.stochastic_depth_rate > 0:
+            out = jnp.where(skip_layer, x_in, out)
+        return out
 
 
 class BranchformerEncoder(nn.Module):
@@ -127,6 +196,14 @@ class BranchformerEncoder(nn.Module):
     use_ffn: bool = False
     linear_units: int = 2048
     merge_conv_kernel: int = 0
+    # branch controls (`branchformer/encoder.py:44-119`); floats broadcast
+    # to all layers, lists are per-layer
+    use_attn: bool = True
+    use_cgmlp: bool = True
+    merge_method: str = "concat"
+    cgmlp_weight: Any = 0.5
+    attn_branch_drop_rate: Any = 0.0
+    stochastic_depth_rate: Any = 0.0
 
     @nn.compact
     def __call__(self, xs, xs_lens, *, deterministic: bool = True):
@@ -143,6 +220,9 @@ class BranchformerEncoder(nn.Module):
         T = xs.shape[1]
         pad_mask = mask_utils.make_pad_mask(out_lens, T)
         att_mask = pad_mask[:, None, :]
+        def per_layer(v, i):
+            return v[i] if isinstance(v, (list, tuple)) else v
+
         for i in range(self.num_blocks):
             xs = BranchformerLayer(
                 d_model=self.output_size, heads=self.attention_heads,
@@ -152,6 +232,13 @@ class BranchformerEncoder(nn.Module):
                 attention_dropout_rate=self.attention_dropout_rate,
                 merge_conv_kernel=self.merge_conv_kernel,
                 use_ffn=self.use_ffn, ffn_hidden=self.linear_units,
+                use_attn=self.use_attn, use_cgmlp=self.use_cgmlp,
+                merge_method=self.merge_method,
+                cgmlp_weight=per_layer(self.cgmlp_weight, i),
+                attn_branch_drop_rate=per_layer(
+                    self.attn_branch_drop_rate, i),
+                stochastic_depth_rate=per_layer(
+                    self.stochastic_depth_rate, i),
                 name=f"layer_{i}",
             )(xs, att_mask, pos_emb, pad_mask, out_lens,
               deterministic=deterministic)

@@ -7,7 +7,7 @@ with average-pooled residuals, so deep layers run at 1/2 or 1/4 frame rate.
 """
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -95,6 +95,7 @@ class EfficientConformerLayer(nn.Module):
     cnn_kernel: int = 15
     stride: int = 1            # >1: downsampling layer
     group_size: int = 3
+    use_grouped_attn: bool = True   # `encoder.py:159`: per-layer choice
     dropout_rate: float = 0.1
     attention_dropout_rate: float = 0.0
 
@@ -114,11 +115,17 @@ class EfficientConformerLayer(nn.Module):
 
         res = x
         y = nn.LayerNorm(epsilon=1e-5, name="norm_mha")(x)
-        y = GroupedRelPositionAttention(
-            heads=self.heads, d_model=self.d_model,
-            dropout_rate=self.attention_dropout_rate,
-            group_size=self.group_size, name="attn",
-        )(y, y, att_mask, pos_emb, deterministic=deterministic)
+        if self.use_grouped_attn:
+            y = GroupedRelPositionAttention(
+                heads=self.heads, d_model=self.d_model,
+                dropout_rate=self.attention_dropout_rate,
+                group_size=self.group_size, name="attn",
+            )(y, y, att_mask, pos_emb, deterministic=deterministic)
+        else:
+            y = att_mod.RelPositionMultiHeadedAttention(
+                heads=self.heads, d_model=self.d_model,
+                dropout_rate=self.attention_dropout_rate, name="attn",
+            )(y, y, att_mask, pos_emb, deterministic=deterministic)
         x = res + drop(y)
 
         # conv module, optionally strided (downsampling)
@@ -161,7 +168,10 @@ class EfficientConformerEncoder(nn.Module):
     attention_heads: int = 4
     linear_units: int = 1024
     num_blocks: int = 12
-    stride_layers: Sequence[int] = (3, 7)   # downsample after these
+    stride_layers: Sequence[int] = (3, 7)   # downsample at these layers
+    strides: Optional[Sequence[int]] = None  # per-stride factors (def 2)
+    group_layers: Optional[Sequence[int]] = None  # grouped-attn layers
+                                                  # (None: all layers)
     group_size: int = 3
     cnn_module_kernel: int = 15
     dropout_rate: float = 0.1
@@ -181,19 +191,27 @@ class EfficientConformerEncoder(nn.Module):
             d_model=self.output_size, dropout_rate=self.dropout_rate,
             name="pos_enc",
         )(xs, deterministic=deterministic)
+        stride_layers = tuple(self.stride_layers)
+        strides = tuple(self.strides) if self.strides is not None \
+            else (2,) * len(stride_layers)
+        assert len(strides) == len(stride_layers)
         for i in range(self.num_blocks):
-            stride = 2 if i in tuple(self.stride_layers) else 1
+            stride = 1
+            if i in stride_layers:
+                stride = strides[stride_layers.index(i)]
+            grouped = (self.group_layers is None
+                       or i in tuple(self.group_layers))
             pad_mask = mask_utils.make_pad_mask(lens, xs.shape[1])
             xs = EfficientConformerLayer(
                 d_model=self.output_size, heads=self.attention_heads,
                 linear_units=self.linear_units,
                 cnn_kernel=self.cnn_module_kernel, stride=stride,
-                group_size=self.group_size,
+                group_size=self.group_size, use_grouped_attn=grouped,
                 dropout_rate=self.dropout_rate,
                 attention_dropout_rate=self.attention_dropout_rate,
                 name=f"layer_{i}",
             )(xs, pad_mask[:, None, :], pos_emb[:, : xs.shape[1]],
               pad_mask, deterministic=deterministic)
             if stride > 1:
-                lens = (lens + 1) // 2
+                lens = (lens + stride - 1) // stride
         return xs, lens

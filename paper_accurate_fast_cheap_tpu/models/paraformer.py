@@ -70,6 +70,81 @@ def cif(enc: jax.Array, alpha: jax.Array, max_tokens: int,
     return out, n
 
 
+class SANMAttention(nn.Module):
+    """SAN-M self-attention (`wenet/paraformer/attention.py:8-115`):
+    fused q/k/v projection + an FSMN depthwise-conv memory branch over v,
+    added to the attention output."""
+
+    heads: int
+    d_model: int
+    kernel_size: int = 11
+    sanm_shift: int = 0
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask=None, pad_mask=None, *,
+                 deterministic: bool = True):
+        B, T, _ = x.shape
+        H = self.heads
+        Dk = self.d_model // H
+        qkv = nn.Dense(3 * self.d_model, name="linear_q_k_v")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        # FSMN memory over v (`:64-86`): zero pads, depthwise conv
+        # (left/right split by sanm_shift), residual, re-mask
+        vm = v
+        if pad_mask is not None:
+            vm = jnp.where(pad_mask[..., None], vm, 0.0)
+        left = (self.kernel_size - 1) // 2 + self.sanm_shift
+        right = self.kernel_size - 1 - left
+        mem = nn.Conv(self.d_model, (self.kernel_size,),
+                      padding=((left, right),),
+                      feature_group_count=self.d_model, use_bias=False,
+                      name="fsmn_block")(vm)
+        mem = mem + vm
+        mem = nn.Dropout(self.dropout_rate)(mem,
+                                            deterministic=deterministic)
+        if pad_mask is not None:
+            mem = jnp.where(pad_mask[..., None], mem, 0.0)
+
+        q = q.reshape(B, T, H, Dk)
+        k = k.reshape(B, T, H, Dk)
+        vh = v.reshape(B, T, H, Dk)
+        scores = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(
+            jnp.asarray(Dk, x.dtype))
+        if mask is not None:
+            m = mask[:, None] if mask.ndim == 3 else mask
+            scores = jnp.where(m, scores, -1e9)
+        probs = jax.nn.softmax(scores, axis=-1)
+        if mask is not None:
+            m = mask[:, None] if mask.ndim == 3 else mask
+            probs = jnp.where(m, probs, 0.0)
+        att = jnp.einsum("bhts,bshd->bthd", probs, vh).reshape(B, T, -1)
+        att = nn.Dense(self.d_model, name="linear_out")(att)
+        return att + mem
+
+
+def cif_peaks(alphas: jax.Array, token_nums: jax.Array,
+              threshold: float = 1.0) -> jax.Array:
+    """Timestamp branch (`paraformer.py:319-327` forward_cif_peaks +
+    `cif.py cif_without_hidden`): rescale alphas so their mass equals the
+    decoded token count, then accumulate and mark fire positions."""
+    total = jnp.sum(alphas, axis=-1, keepdims=True)
+    scaled = alphas / jnp.maximum(
+        total / jnp.maximum(token_nums.astype(alphas.dtype)[:, None],
+                            1e-6), 1e-6)
+
+    def step(acc, a):
+        acc = acc + a
+        fired = acc >= threshold - 1e-4
+        acc = jnp.where(fired, acc - (threshold - 1e-4), acc)
+        return acc, fired
+
+    _, fired = jax.lax.scan(step, jnp.zeros(alphas.shape[0]),
+                            jnp.moveaxis(scaled, 1, 0))
+    return jnp.moveaxis(fired, 0, 1)  # (B, T) bool fire marks
+
+
 class Paraformer(nn.Module):
     vocab_size: int
     encoder_conf: Any
@@ -82,6 +157,10 @@ class Paraformer(nn.Module):
     lsm_weight: float = 0.1
     max_tokens: int = 128
     ignore_id: int = common.IGNORE_ID
+    # glancing-LM sampler (`paraformer.py:122,238-277`): second decoder
+    # pass with a fraction of wrong positions teacher-forced
+    sampler: bool = True
+    sampling_ratio: float = 0.75
 
     def setup(self):
         self.encoder = build_encoder(self.encoder_type,
@@ -97,6 +176,9 @@ class Paraformer(nn.Module):
             for i in range(self.decoder_blocks)
         ]
         self.out_proj = nn.Dense(self.vocab_size, name="output_layer")
+        if self.sampler:
+            self.sampler_embed = nn.Embed(self.vocab_size, self.d_model,
+                                          name="sampler_embed")
 
     def _alphas(self, enc, enc_lens):
         alpha = nn.sigmoid(self.alpha_proj(enc))[..., 0]
@@ -127,8 +209,6 @@ class Paraformer(nn.Module):
         scale = label_lens.astype(jnp.float32) / jnp.maximum(total, 1e-6)
         alpha_scaled = alpha * scale[:, None]
         embs, n_fired = cif(enc, alpha_scaled, self.max_tokens)
-        logits = self._decode_embs(enc, enc_lens, embs, label_lens,
-                                   deterministic)
         U = labels.shape[1]
         tgt = jnp.full((labels.shape[0], self.max_tokens), self.ignore_id,
                        labels.dtype)
@@ -138,6 +218,11 @@ class Paraformer(nn.Module):
                 self.ignore_id,
             )
         )
+        if self.sampler and not deterministic:
+            embs = self._sampler(enc, enc_lens, embs, tgt, label_lens,
+                                 self.make_rng("dropout"))
+        logits = self._decode_embs(enc, enc_lens, embs, label_lens,
+                                   deterministic)
         loss_dec = label_smoothing_loss(logits, tgt, self.lsm_weight,
                                         self.ignore_id)
         loss_ctc = jnp.asarray(0.0)
@@ -151,6 +236,37 @@ class Paraformer(nn.Module):
         return {"loss": loss, "loss_decoder": loss_dec,
                 "loss_quantity": loss_quantity, "loss_ctc": loss_ctc,
                 "th_accuracy": acc}
+
+    def _sampler(self, enc, enc_lens, acoustic_embs, tgt, label_lens,
+                 rng):
+        """Glancing sampler (`paraformer.py:238-277`): first NAR pass with
+        acoustic embeddings; positions the model got wrong are replaced by
+        target embeddings with probability ~ sampling_ratio * error_rate.
+        Deviation: the reference scatters exactly `target_num` random
+        positions per row (randperm); we use per-position Bernoulli with
+        the same expectation (shape-static for jit)."""
+        tok_valid = tgt != self.ignore_id
+        tgt_ids = jnp.where(tok_valid, tgt, 0)
+        tgt_embs = self.sampler_embed(tgt_ids)
+        first = jax.lax.stop_gradient(
+            self._decode_embs(enc, enc_lens, acoustic_embs,
+                              label_lens, True))
+        pred = jnp.argmax(first, axis=-1)
+        wrong = (pred != tgt_ids) & tok_valid
+        n_tok = jnp.maximum(jnp.sum(tok_valid, axis=1), 1)
+        p_replace = (self.sampling_ratio
+                     * jnp.sum(wrong, axis=1) / n_tok)[:, None]
+        replace = (jax.random.uniform(rng, tgt_ids.shape) < p_replace) \
+            & tok_valid
+        mixed = jnp.where(replace[..., None], tgt_embs, acoustic_embs)
+        return jnp.where(tok_valid[..., None], mixed, 0.0)
+
+    def forward_cif_peaks(self, feats, feat_lens, token_nums):
+        """Accurate-timestamp branch (`paraformer.py:319-327`): CIF fire
+        positions at the encoder frame rate, rescaled to token_nums."""
+        enc, enc_lens = self.encoder(feats, feat_lens, deterministic=True)
+        alpha = self._alphas(enc, enc_lens)
+        return cif_peaks(alpha, token_nums)
 
     def recognize(self, feats, feat_lens):
         """Non-autoregressive decode: CIF fires determine the length."""

@@ -87,8 +87,10 @@ class SqueezeformerEncoder(nn.Module):
     attention_heads: int = 4
     linear_units: int = 1024
     num_blocks: int = 12
-    reduce_idx: int = 5          # time reduction after this many blocks
-    recover_idx: int = 11        # recover before this block index
+    # int or ascending list (`squeezeformer/encoder.py:43-44,96-108`):
+    # nested multi-level temporal U-Net
+    reduce_idx: Any = 5          # time reduction before these block idxs
+    recover_idx: Any = 11        # time recovery before these block idxs
     cnn_module_kernel: int = 31
     dropout_rate: float = 0.1
     attention_dropout_rate: float = 0.0
@@ -120,31 +122,43 @@ class SqueezeformerEncoder(nn.Module):
             )(x, pad_mask[:, None, :], pe, pad_mask,
               deterministic=deterministic)
 
+        reduce_idx = ([self.reduce_idx] if isinstance(self.reduce_idx, int)
+                      else list(self.reduce_idx or []))
+        recover_idx = ([self.recover_idx]
+                       if isinstance(self.recover_idx, int)
+                       else list(self.recover_idx or []))
+        assert len(reduce_idx) == len(recover_idx)
+
+        xs = nn.LayerNorm(epsilon=1e-5, name="preln")(xs)
         lens = out_lens
         pe = pos_emb
-        residual = None
-        reduced = False
+        # nested multi-level U-Net: a stack of saved (xs, lens, pe)
+        # (`encoder.py:208-236` recover_activations)
+        saved = []
         for i in range(self.num_blocks):
-            if i == self.reduce_idx:
-                residual = xs                       # save for recovery
-                # stride-2 depthwise time reduction
+            if i in reduce_idx:
+                level = len(saved)
+                saved.append((xs, lens, pe))
                 xs = nn.Conv(
                     self.output_size, (5,), strides=(2,),
                     padding=((2, 2),),
                     feature_group_count=self.output_size,
-                    name="time_reduce",
+                    name=f"time_reduce_{level}",
                 )(xs)
                 lens = (lens + 1) // 2
                 pe = pe[:, : xs.shape[1]]
-                reduced = True
-            if i == self.recover_idx and reduced:
-                # upsample (repeat) + projection + residual
-                up = jnp.repeat(xs, 2, axis=1)[:, : residual.shape[1]]
-                up = nn.Dense(self.output_size, name="time_recover")(up)
-                xs = up + residual
-                lens = out_lens
-                pe = pos_emb
-                reduced = False
+            if i in recover_idx and saved:
+                level = len(saved) - 1
+                rec_xs, rec_lens, rec_pe = saved.pop()
+                # upsample (repeat) + projection + residual, then zero the
+                # padded tail (`encoder.py:228-236`)
+                up = jnp.repeat(xs, 2, axis=1)[:, : rec_xs.shape[1]]
+                up = nn.Dense(self.output_size,
+                              name=f"time_recover_{level}")(up)
+                xs = rec_xs + up
+                lens, pe = rec_lens, rec_pe
+                valid = mask_utils.make_pad_mask(lens, xs.shape[1])
+                xs = jnp.where(valid[..., None], xs, 0.0)
             xs = block(i, xs, None, pe[:, : xs.shape[1]], lens)
         xs = nn.LayerNorm(epsilon=1e-5, name="final_norm")(xs)
         return xs, lens

@@ -60,17 +60,19 @@ def test_ctl_model():
         ctl_weight=0.5,
     )
     feats = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 16))
-    aug = feats + jax.random.normal(jax.random.PRNGKey(1), feats.shape) * 0.1
     flens = jnp.asarray([32, 24])
     labels = jnp.asarray([[1, 2], [3, 4]], jnp.int32)
     llens = jnp.asarray([2, 2])
-    params = model.init(jax.random.PRNGKey(2), feats, flens, aug, labels,
-                        llens)
-    out = model.apply(params, feats, flens, aug, labels, llens)
-    assert np.isfinite(float(out["loss_ctl"]))
-    # identical views have lower contrastive loss than noisy views
-    out_same = model.apply(params, feats, flens, feats, labels, llens)
-    assert float(out_same["loss_ctl"]) <= float(out["loss_ctl"]) + 1e-4
+    params = model.init(jax.random.PRNGKey(2), feats, flens, labels, llens)
+    out = model.apply(params, feats, flens, labels, llens)
+    # dual-view structure (`asr_model_ctl.py:74-115`): full + chunk +
+    # contrastive terms all present and finite
+    for k in ("loss", "loss_full", "loss_chunk", "loss_ctl"):
+        assert np.isfinite(float(out[k])), k
+    assert float(out["loss_ctl"]) > 0.0
+    g = jax.grad(lambda p: float(0) + model.apply(
+        p, feats, flens, labels, llens)["loss"])(params)
+    assert np.isfinite(np.asarray(jax.tree.leaves(g)[0])).all()
 
 
 def test_kaldi_ark_scp_roundtrip(tmp_path):
@@ -86,3 +88,48 @@ def test_kaldi_ark_scp_roundtrip(tmp_path):
     got_scp = dict(kaldi_io.read_scp(scp))
     for k in mats:
         np.testing.assert_array_equal(got_scp[k], mats[k])
+
+
+def test_paraformer_sampler_and_sanm_and_peaks():
+    """Round-2 paraformer additions: SANM attention module, glancing
+    sampler in training, CIF timestamp peaks
+    (`wenet/paraformer/attention.py:8-115`, `paraformer.py:238-327`)."""
+    from paper_accurate_fast_cheap_tpu.models.paraformer import (
+        Paraformer,
+        SANMAttention,
+        cif_peaks,
+    )
+
+    # SANM module shape/finiteness + fsmn memory effect
+    att = SANMAttention(heads=2, d_model=16, kernel_size=5,
+                        dropout_rate=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 16))
+    pad = jnp.ones((2, 12), bool).at[1, 8:].set(False)
+    p = att.init(jax.random.PRNGKey(1), x, pad[:, None, :], pad)
+    y = att.apply(p, x, pad[:, None, :], pad)
+    assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+
+    # sampler path trains (rng consumed, loss finite, grads flow)
+    model = Paraformer(
+        vocab_size=20,
+        encoder_conf=dict(input_size=8, output_size=16, attention_heads=2,
+                          linear_units=32, num_blocks=1,
+                          input_layer="linear"),
+        decoder_blocks=1, max_tokens=16, sampler=True,
+        sampling_ratio=0.75)
+    feats = jax.random.normal(jax.random.PRNGKey(2), (2, 30, 8))
+    flens = jnp.asarray([30, 22])
+    labels = jnp.ones((2, 5), jnp.int32) * 3
+    llens = jnp.asarray([5, 4])
+    params = model.init(
+        {"params": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+        feats, flens, labels, llens, deterministic=False)
+    out = model.apply(params, feats, flens, labels, llens,
+                      deterministic=False,
+                      rngs={"dropout": jax.random.PRNGKey(5)})
+    assert np.isfinite(float(out["loss"]))
+    # peaks: fire count ~ token_nums
+    alphas = jnp.abs(jax.random.normal(jax.random.PRNGKey(6), (2, 40)))
+    peaks = cif_peaks(alphas, jnp.asarray([7, 3]))
+    fired = np.asarray(peaks).sum(axis=1)
+    assert abs(int(fired[0]) - 7) <= 1 and abs(int(fired[1]) - 3) <= 1
