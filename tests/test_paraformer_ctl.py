@@ -133,3 +133,52 @@ def test_paraformer_sampler_and_sanm_and_peaks():
     peaks = cif_peaks(alphas, jnp.asarray([7, 3]))
     fired = np.asarray(peaks).sum(axis=1)
     assert abs(int(fired[0]) - 7) <= 1 and abs(int(fired[1]) - 3) <= 1
+
+
+def test_kaldi_io_vectors_compressed_ascii():
+    """kaldi_io round 2 (`wenet/dataset/kaldi_io.py`): int/float vectors,
+    compressed 'CM ' matrices (cross-checked against the reference's own
+    reader), ascii matrices."""
+    import io
+
+    from paper_accurate_fast_cheap_tpu.data import kaldi_io as kio
+
+    rng = np.random.RandomState(0)
+    buf = io.BytesIO()
+    kio.write_vec_int(buf, [3, 1, 4], "k")
+    buf.seek(2)
+    np.testing.assert_array_equal(kio.read_vec_int(buf), [3, 1, 4])
+
+    buf = io.BytesIO()
+    kio.write_vec_flt(buf, np.asarray([0.5, -1.25, 2.0]))
+    buf.seek(0)
+    np.testing.assert_allclose(kio.read_vec_flt(buf), [0.5, -1.25, 2.0])
+
+    m = (rng.randn(30, 8) * 2).astype(np.float32)
+    buf = io.BytesIO()
+    kio.write_compressed_mat(buf, m)
+    buf.seek(0)
+    m2 = kio.read_mat(buf)
+    assert np.abs(m2 - m).max() / (m.max() - m.min()) < 0.02
+
+    # cross-check: the reference's own reader decodes our CM bytes
+    import sys
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    try:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_kaldi_io", "/root/reference/wenet/dataset/kaldi_io.py")
+        ref_kio = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_kio)
+    except Exception:
+        ref_kio = None
+    if ref_kio is not None:
+        buf.seek(2)  # skip \0B; reference read_mat handles the header
+        assert buf.read(3) == b"CM "
+        m3 = ref_kio._read_compressed_mat(buf, "CM ")
+        np.testing.assert_allclose(m3, m2, atol=1e-4)
+
+    buf = io.BytesIO(b" [\n 1 2\n 3 4 ]\n")
+    np.testing.assert_array_equal(kio.read_mat(buf), [[1, 2], [3, 4]])

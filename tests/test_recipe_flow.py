@@ -109,3 +109,34 @@ def test_recipe_stages(tmp_path, seed):
     assert hyp.exists()
     rc = wer_main([str(data / "text"), str(hyp), "--giga"])
     assert rc == 0
+
+
+def test_latency_alignment_comparison():
+    """`tools/latency_metrics.py:206-274`: forced-alignment comparison —
+    tolerance skip, token-count skip, and delay percentile report."""
+    from paper_accurate_fast_cheap_tpu.tools import latency_metrics as lm
+
+    # alignment: token every 4th 10ms frame; emissions one encoder frame
+    # (40 ms) late
+    aligns = {
+        "u1": ["<blank>", "a", "<blank>", "<blank>", "b", "<blank>",
+               "<blank>", "<blank>"],
+        "u2": ["a"] + ["<blank>"] * 50,          # frame count mismatch
+        "u3": ["<blank>", "a", "<blank>", "<blank>"],  # token mismatch
+    }
+    timestamps = {
+        "u1": [5, 7],    # tokens at enc frames 0 and 1 (8 fa frames ~ 2*4)
+        "u2": [5],       # 1*4 st frames vs 51 fa frames -> ignored
+        "u3": [0],       # zero emissions vs one aligned token -> unequal
+    }
+    per_utt, counters = lm.compare_with_alignment(
+        timestamps, aligns, subsampling=4)
+    assert counters["valid"] == 1
+    assert counters["ignored"] == 1        # u2 frame-count mismatch
+    assert counters["len_unequal"] == 1    # u3
+    # u1: fa times [10, 40]; st times [0, 40] -> delays [-10, 0]
+    u = per_utt[0]
+    assert u.first_token == -10.0 and u.last_token == 0.0
+    rep = lm.latency_report(per_utt)
+    assert "p90" in rep["first_token"]
+    lm.print_report(per_utt)  # smoke
