@@ -460,6 +460,108 @@ def pass_one_hot(samples, emb_len: int = 1, field: str = "lang",
         yield dict(s, cat_emb=onehot)
 
 
+def parse_speaker(samples, speaker_dict: Dict[str, int]):
+    """Map speaker names to ids (`processor.py:88-92`)."""
+    for s in samples:
+        if "speaker" in s:
+            s = dict(s, speaker=speaker_dict.get(s["speaker"], 0))
+        yield s
+
+
+def detect_language(samples, limited_langs=("zh", "en"),
+                    default: str = "en"):
+    """`processor.py:95-106` uses the `langid` package (not in this
+    image); gated: use it when importable, else a cheap script heuristic
+    restricted to the same limited_langs set."""
+    try:
+        import langid as lid
+
+        lid.set_languages(list(limited_langs))
+        classify = lambda txt: lid.classify(txt)[0]
+    except ImportError:
+        def classify(txt):
+            if "zh" in limited_langs and any(
+                    "一" <= ch <= "鿿" for ch in txt):
+                return "zh"
+            return default if default in limited_langs \
+                else list(limited_langs)[0]
+    for s in samples:
+        yield dict(s, lang=s.get("lang", classify(s.get("txt", ""))))
+
+
+def detect_task(samples):
+    """`processor.py:108-115`: hard-coded 'transcribe'."""
+    for s in samples:
+        yield dict(s, task=s.get("task", "transcribe"))
+
+
+def get_rare_words(deep_bias_conf: Dict) -> set:
+    """`processor.py:118-129`: alphabetic words at/below freq_threshold."""
+    with open(deep_bias_conf["word_freqs"]) as f:
+        word_freqs = json.load(f)
+    thr = deep_bias_conf.get("freq_threshold", 20)
+    return {w for w, freq in word_freqs.items()
+            if w.isalpha() and freq <= thr}
+
+
+def rare_utt_filter(samples, rare_words: set, deep_bias_conf: Dict,
+                    rng: random.Random = None):
+    """Deep-biasing data stage (`processor.py:132-178`): keep only
+    utterances containing rare words; attach per-utt cv phrases (rare
+    word + up to n_order-1 left-context words) and distractor phrases."""
+    rng = rng or random
+    p_keep = deep_bias_conf.get("p_keep", 1)
+    n_order = deep_bias_conf.get("n_order", 3)
+    rare_list = sorted(rare_words)
+    for s in samples:
+        txt_list = s.get("txt", "").split()
+        cv_terms, dist_terms = [], []
+        for word in txt_list:
+            if word not in rare_words:
+                continue
+            word_index = txt_list.index(word)
+            n = rng.choice(list(range(n_order)))
+            if n >= len(txt_list):
+                n = 1
+            if n > word_index:
+                cv_phrase = txt_list[: word_index + 1]
+            else:
+                cv_phrase = txt_list[word_index - n : word_index + 1]
+            cv_terms.append(" ".join(cv_phrase))
+            dist_phrase = rng.sample(txt_list, n)
+            if word in dist_phrase:
+                dist_phrase.remove(word)
+            dist_phrase.append(rng.choice(rare_list))
+            rng.shuffle(dist_phrase)
+            dist_terms.append(" ".join(dist_phrase))
+        if not cv_terms:
+            continue
+        out = dict(s)
+        out["cv_list"] = cv_terms if rng.random() < p_keep else []
+        out["cv_distractors"] = dist_terms
+        yield out
+
+
+def tokenize_cv_list(samples, tokenizer):
+    """Tokenize biasing phrases (`processor.py:480-511`)."""
+    for s in samples:
+        if "cv_list" not in s:
+            yield s
+            continue
+        out = dict(s)
+        out["cv_tokens_list"], out["cv_label_list"] = [], []
+        out["dist_tokens_list"], out["dist_label_list"] = [], []
+        for word in s["cv_list"]:
+            toks, label = tokenizer.tokenize(word)
+            out["cv_tokens_list"].append(toks)
+            out["cv_label_list"].append(label)
+        for dist in s.get("cv_distractors", []):
+            toks, label = tokenizer.tokenize(dist)
+            out["dist_tokens_list"].append(toks)
+            out["dist_label_list"].append(label)
+        yield out
+
+
 def compute_num_frames(num_samples: int, sample_rate: int = 16000,
                        frame_shift_ms: int = 10) -> int:
     return num_samples // (sample_rate * frame_shift_ms // 1000)
@@ -723,6 +825,24 @@ def build_dataset(
             stream, mu.get("min_sec", 75.0), mu.get("max_sec", 85.0),
             mu.get("add_sw_token", True),
         )
+    if "speaker_conf" in conf:
+        from paper_accurate_fast_cheap_tpu.text.tokenizers import (
+            read_symbol_table,
+        )
+
+        stable = read_symbol_table(
+            conf["speaker_conf"]["speaker_table_path"])
+        stream = parse_speaker(stream, stable)
+    if conf.get("deep_bias_conf", {}).get("deep_biasing", False):
+        db = conf["deep_bias_conf"]
+        rare = get_rare_words(db)
+        stream = rare_utt_filter(stream, rare, db, rng=rng)
+        stream = tokenize_cv_list(stream, tokenizer)
+    if "language_conf" in conf:
+        stream = detect_language(
+            stream, conf["language_conf"].get("limited_langs",
+                                              ("zh", "en")))
+        stream = detect_task(stream)
     if conf.get("handle_special_token", False) and mode == "train":
         stream = SpecialTokensHandler(
             conf.get("handle_special_token_conf", {}))(stream)

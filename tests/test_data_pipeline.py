@@ -345,3 +345,32 @@ def test_distribute_batch_reference_semantics():
                                   one_utt_per_job=False))
     assert sum(len(b) for b in b3) == 6  # nothing lost at boundaries
     assert all(len(b) <= 2 for b in b3)
+
+
+def test_deep_bias_and_lang_stages(tok, tmp_path):
+    """Deep-biasing data stages (`processor.py:118-178,480-511`) +
+    lang/task detection gates."""
+    import json as _json
+    import random as _random
+
+    freqs = tmp_path / "word_freqs.json"
+    freqs.write_text(_json.dumps(
+        {"hello": 100, "world": 100, "zyzzyva": 2, "qoph": 1}))
+    samples = [
+        {"key": "a", "txt": "hello world"},                  # no rare word
+        {"key": "b", "txt": "hello zyzzyva world"},
+    ]
+    db = {"word_freqs": str(freqs), "deep_biasing": True, "n_order": 2}
+    out = list(pl.rare_utt_filter(
+        iter(samples), pl.get_rare_words(db), db,
+        rng=_random.Random(0)))
+    assert [s["key"] for s in out] == ["b"]
+    assert out[0]["cv_list"] and "zyzzyva" in out[0]["cv_list"][0]
+    assert out[0]["cv_distractors"]
+    toked = list(pl.tokenize_cv_list(iter(out), tok))
+    assert toked[0]["cv_label_list"] and toked[0]["dist_label_list"]
+
+    langed = list(pl.detect_task(pl.detect_language(
+        iter([{"txt": "hello"}, {"txt": "你好"}]), ("zh", "en"))))
+    assert langed[0]["lang"] == "en" and langed[1]["lang"] == "zh"
+    assert all(s["task"] == "transcribe" for s in langed)
