@@ -9,12 +9,16 @@ carries next to `wenet/transducer/search/`.  Implemented here:
   Saon et al. 2020)
 * ``align_length_sync_decoding`` (`:408-512`, ALSD with ``u_max``,
   Saon et al. 2020)
+* ``nsc_beam_search``       (`:514-675`, N-step constrained, Kim et al.
+  2020, arXiv:2002.03577) — per-frame prefix search + ``nstep`` rounds of
+  constrained expansion
+* ``modified_adaptive_expansion_search`` (`:677-835`, mAES, Kim &
+  Sung 2020) — prune-by-value ``select_k_expansions`` with
+  ``expansion_gamma``/``expansion_beta``
 
-NSC (`:514-665`) and mAES (`:667-835`) are deliberately excluded: both
-exist in the reference solely to host per-step neural-LM shallow fusion
-(`use_lm`), which the release never configures (no LM is shipped or wired
-in any recipe); without an LM they reduce to TSD with extra bookkeeping.
-Documented in COVERAGE.md with the same rigor as the k2 gate.
+The reference's LM shallow-fusion hooks (``use_lm``) are not carried: the
+release never configures an LM (none shipped or wired in any recipe), so
+all searches here are the ``lm=None`` code path of the reference.
 
 Interface: the same jitted step callables the main stack uses
 (`decode/rnnt_search.py`): ``predictor_step(tokens (n,), state) ->
@@ -41,12 +45,17 @@ from paper_accurate_fast_cheap_tpu.decode.search import DecodeResult
 
 @dataclasses.dataclass
 class Hypothesis:
-    """`beam_search_transducer.py:24-36`."""
+    """`beam_search_transducer.py:24-42` (Hypothesis + ExtendedHypothesis).
+
+    ``dec_outs`` is only populated by NSC/mAES: ``dec_outs[k]`` is the
+    predictor output after consuming ``yseq[k]`` (the reference's
+    ``ExtendedHypothesis.dec_out`` list, used by ``prefix_search``)."""
 
     score: float
     yseq: List[int]
     pred_out: np.ndarray          # predictor output after consuming yseq
     state_idx: int                # row into the searcher's state bank
+    dec_outs: Optional[List[np.ndarray]] = None
 
 
 class _StateBank:
@@ -87,6 +96,9 @@ class BeamSearchTransducer:
         u_max: int = 50,
         score_norm: bool = True,
         prefix_alpha: int = 1,
+        nstep: int = 1,
+        expansion_gamma: float = 2.3,
+        expansion_beta: int = 2,
         nbest: Optional[int] = None,
     ):
         self.predictor_step = predictor_step
@@ -99,6 +111,11 @@ class BeamSearchTransducer:
         self.u_max = u_max
         self.score_norm = score_norm
         self.prefix_alpha = prefix_alpha
+        # `:112` — mAES needs at least two expansion rounds
+        self.nstep = (nstep if nstep > 1 else 2) \
+            if search_type == "maes" else nstep
+        self.expansion_gamma = expansion_gamma
+        self.expansion_beta = expansion_beta
         self.nbest = nbest if nbest is not None else beam_size
 
     # -- public -----------------------------------------------------------
@@ -111,10 +128,13 @@ class BeamSearchTransducer:
             hyps = self.time_sync_decoding(enc_out)
         elif self.search_type == "alsd":
             hyps = self.align_length_sync_decoding(enc_out)
+        elif self.search_type == "nsc":
+            hyps = self.nsc_beam_search(enc_out)
+        elif self.search_type == "maes":
+            hyps = self.modified_adaptive_expansion_search(enc_out)
         else:
             raise NotImplementedError(
-                f"search_type {self.search_type!r}; nsc/maes are excluded "
-                "(LM-fusion-only variants, see module docstring)")
+                f"unknown search_type {self.search_type!r}")
         return self.sort_nbest(hyps)
 
     def decode(self, enc_out) -> DecodeResult:
@@ -135,13 +155,15 @@ class BeamSearchTransducer:
         return hyps[: self.nbest]
 
     # -- helpers ----------------------------------------------------------
-    def _init_hyp(self):
+    def _init_hyp(self, extended: bool = False):
         state = self.init_state_fn(1)
         tok = jnp.full((1,), self.blank_id, jnp.int32)
         pred, state = self.predictor_step(tok, state)
         bank = _StateBank(state)
-        return Hypothesis(score=0.0, yseq=[self.blank_id],
-                          pred_out=np.asarray(pred[0]), state_idx=0), bank
+        p0 = np.asarray(pred[0])
+        return Hypothesis(score=0.0, yseq=[self.blank_id], pred_out=p0,
+                          state_idx=0,
+                          dec_outs=[p0] if extended else None), bank
 
     def _advance(self, bank: _StateBank, hyps: List[Hypothesis],
                  tokens: List[int]):
@@ -158,6 +180,33 @@ class BeamSearchTransducer:
         pred = jnp.asarray(np.stack([h.pred_out for h in hyps]))
         enc = jnp.broadcast_to(enc_t[None], (len(hyps), enc_t.shape[-1]))
         return np.asarray(self.joint_step(enc, pred))
+
+    def _joint_vecs(self, enc_t: jax.Array, preds: List[np.ndarray]):
+        """Joint log-probs for raw predictor-output vectors, (n, V)."""
+        pred = jnp.asarray(np.stack(preds))
+        enc = jnp.broadcast_to(enc_t[None], (len(preds), enc_t.shape[-1]))
+        return np.asarray(self.joint_step(enc, pred))
+
+    def prefix_search(self, hyps: List[Hypothesis], enc_t: jax.Array
+                      ) -> List[Hypothesis]:
+        """Graves prefix search for NSC/mAES (`:165-199`): fold the
+        probability of reaching a hypothesis via any of its kept proper
+        prefixes (within ``prefix_alpha`` extra tokens) into its score.
+
+        ``hyps`` must be sorted by len(yseq) descending (callers do)."""
+        for j, hyp_j in enumerate(hyps[:-1]):
+            for hyp_i in hyps[j + 1:]:
+                curr_id, pref_id = len(hyp_j.yseq), len(hyp_i.yseq)
+                if not (_is_prefix(hyp_j.yseq, hyp_i.yseq)
+                        and curr_id - pref_id <= self.prefix_alpha):
+                    continue
+                logp = self._joint_vecs(enc_t, [hyp_i.dec_outs[-1]])[0]
+                curr_score = hyp_i.score + float(logp[hyp_j.yseq[pref_id]])
+                for k in range(pref_id, curr_id - 1):
+                    logp = self._joint_vecs(enc_t, [hyp_j.dec_outs[k]])[0]
+                    curr_score += float(logp[hyp_j.yseq[k + 1]])
+                hyp_j.score = float(np.logaddexp(hyp_j.score, curr_score))
+        return hyps
 
     # -- searches ----------------------------------------------------------
     def default_beam_search(self, enc_out) -> List[Hypothesis]:
@@ -303,6 +352,154 @@ class BeamSearchTransducer:
             B = sorted(A, key=lambda x: x.score, reverse=True)[:beam]
             B = _recombine_hyps(B)
         return final if final else B
+
+    def nsc_beam_search(self, enc_out) -> List[Hypothesis]:
+        """N-step constrained beam search (`:514-675`, arXiv:2002.03577):
+        per frame, prefix-search score folding, then ``nstep`` rounds where
+        each round keeps blank-extensions (S) and the best ``beam``
+        non-blank expansions (V) not duplicating a parent."""
+        beam = self.beam_size
+        h0, bank = self._init_hyp(extended=True)
+        kept_hyps = [h0]
+        beam_k = None
+        for t in range(enc_out.shape[0]):
+            enc_t = enc_out[t]
+            hyps = self.prefix_search(
+                sorted(kept_hyps, key=lambda x: len(x.yseq), reverse=True),
+                enc_t)
+            kept_hyps = []
+            S: List[Hypothesis] = []
+            Vexp: List[Hypothesis] = []
+            for n in range(self.nstep):
+                logp = self._joint(enc_t, hyps)
+                if beam_k is None:
+                    beam_k = min(beam, logp.shape[1] - 1)
+                nb = logp.copy()
+                nb[:, self.blank_id] = -np.inf
+                top = np.argsort(-nb, axis=1)[:, :beam_k]
+                for i, hyp in enumerate(hyps):
+                    S.append(Hypothesis(
+                        score=hyp.score + float(logp[i, self.blank_id]),
+                        yseq=hyp.yseq[:], pred_out=hyp.pred_out,
+                        state_idx=hyp.state_idx, dec_outs=hyp.dec_outs[:]))
+                    for k in top[i]:
+                        Vexp.append(Hypothesis(
+                            score=hyp.score + float(nb[i, k]),
+                            yseq=hyp.yseq + [int(k)],
+                            pred_out=hyp.pred_out,
+                            state_idx=hyp.state_idx,
+                            dec_outs=hyp.dec_outs[:]))
+                Vexp.sort(key=lambda x: x.score, reverse=True)
+                Vexp = _subtract(Vexp, hyps)[:beam]
+                if not Vexp:
+                    break
+                preds, rows = self._advance(
+                    bank, Vexp, [v.yseq[-1] for v in Vexp])
+                if n < self.nstep - 1:
+                    for v, pr, row in zip(Vexp, preds, rows):
+                        v.dec_outs.append(pr)
+                        v.pred_out = pr
+                        v.state_idx = row
+                    hyps = Vexp[:]
+                else:
+                    logp2 = self._joint_vecs(enc_t, list(preds))
+                    for i, (v, pr, row) in enumerate(
+                            zip(Vexp, preds, rows)):
+                        # `:654` — multi-step runs settle the trailing
+                        # blank with the advanced predictor output
+                        if self.nstep != 1:
+                            v.score += float(logp2[i, self.blank_id])
+                        v.dec_outs.append(pr)
+                        v.pred_out = pr
+                        v.state_idx = row
+            kept_hyps = sorted(S + Vexp, key=lambda x: x.score,
+                               reverse=True)[:beam]
+        return kept_hyps
+
+    def modified_adaptive_expansion_search(self, enc_out
+                                           ) -> List[Hypothesis]:
+        """mAES (`:677-835`, Kim & Sung 2020): prune-by-value expansion
+        selection (``expansion_gamma`` logp window, ``expansion_beta``
+        extra slots); blank outcomes bank into list_b, non-blank expand
+        up to ``nstep`` rounds."""
+        beam = self.beam_size
+        h0, bank = self._init_hyp(extended=True)
+        kept_hyps = [h0]
+        for t in range(enc_out.shape[0]):
+            enc_t = enc_out[t]
+            hyps = self.prefix_search(
+                sorted(kept_hyps, key=lambda x: len(x.yseq), reverse=True),
+                enc_t)
+            kept_hyps = []
+            list_b: List[Hypothesis] = []
+            for n in range(self.nstep):
+                logp = self._joint(enc_t, hyps)
+                k_exp = _select_k_expansions(
+                    hyps, logp, beam, self.expansion_gamma,
+                    self.expansion_beta)
+                list_exp: List[Hypothesis] = []
+                for i, hyp in enumerate(hyps):
+                    for k, new_score in k_exp[i]:
+                        new_hyp = Hypothesis(
+                            score=new_score, yseq=hyp.yseq[:],
+                            pred_out=hyp.pred_out,
+                            state_idx=hyp.state_idx,
+                            dec_outs=hyp.dec_outs[:])
+                        if k == self.blank_id:
+                            list_b.append(new_hyp)
+                        else:
+                            new_hyp.yseq.append(int(k))
+                            list_exp.append(new_hyp)
+                if not list_exp:
+                    kept_hyps = sorted(list_b, key=lambda x: x.score,
+                                       reverse=True)[:beam]
+                    break
+                preds, rows = self._advance(
+                    bank, list_exp, [h.yseq[-1] for h in list_exp])
+                if n < self.nstep - 1:
+                    for h, pr, row in zip(list_exp, preds, rows):
+                        h.dec_outs.append(pr)
+                        h.pred_out = pr
+                        h.state_idx = row
+                    hyps = list_exp[:]
+                else:
+                    logp2 = self._joint_vecs(enc_t, list(preds))
+                    for i, (h, pr, row) in enumerate(
+                            zip(list_exp, preds, rows)):
+                        h.score += float(logp2[i, self.blank_id])
+                        h.dec_outs.append(pr)
+                        h.pred_out = pr
+                        h.state_idx = row
+                    kept_hyps = sorted(list_b + list_exp,
+                                       key=lambda x: x.score,
+                                       reverse=True)[:beam]
+        return kept_hyps
+
+
+def _is_prefix(x: List[int], pref: List[int]) -> bool:
+    """`utils2.py:98-115` — strict proper-prefix check."""
+    return len(pref) < len(x) and x[: len(pref)] == pref
+
+
+def _subtract(x: List[Hypothesis], subset: List[Hypothesis]
+              ) -> List[Hypothesis]:
+    """`utils2.py:118-140` — drop elements of x whose yseq is in subset."""
+    return [e for e in x if not any(e.yseq == s.yseq for s in subset)]
+
+
+def _select_k_expansions(hyps: List[Hypothesis], logps: np.ndarray,
+                         beam_size: int, gamma: float, beta: int):
+    """`utils2.py:142-179` — per-hyp prune-by-value candidate selection:
+    keep candidates within ``gamma`` of the best, top ``beam+beta``."""
+    k_expansions = []
+    for i, hyp in enumerate(hyps):
+        hyp_i = [(int(k), hyp.score + float(lp))
+                 for k, lp in enumerate(logps[i])]
+        k_best = max(hyp_i, key=lambda x: x[1])[1]
+        k_expansions.append(sorted(
+            [x for x in hyp_i if k_best - gamma <= x[1]],
+            key=lambda x: x[1], reverse=True)[: beam_size + beta])
+    return k_expansions
 
 
 def _recombine_hyps(hyps: List[Hypothesis]) -> List[Hypothesis]:

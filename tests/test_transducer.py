@@ -123,3 +123,51 @@ def test_transducer_overfit_and_decode():
     # nbest is sorted
     assert res_b[0].nbest_scores == sorted(res_b[0].nbest_scores,
                                            reverse=True)
+
+
+# --- bidirectional transducer (wenet/transducer_espnet/bitransducer.py) ----
+
+def test_reverse_features_pad_list():
+    from paper_accurate_fast_cheap_tpu.models.bitransducer import (
+        reverse_features_pad_list,
+    )
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 3),
+                    jnp.float32)
+    lens = jnp.asarray([5, 3])
+    out = np.asarray(reverse_features_pad_list(x, lens))
+    np.testing.assert_allclose(out[0], np.asarray(x)[0, ::-1])
+    np.testing.assert_allclose(out[1, :3], np.asarray(x)[1, 2::-1])
+    np.testing.assert_allclose(out[1, 3:], 0.0)
+
+
+def test_bitransducer_loss_composition():
+    from paper_accurate_fast_cheap_tpu.models.bitransducer import (
+        BiTransducer,
+    )
+
+    model = BiTransducer(
+        vocab_size=VOCAB,
+        encoder_conf=dict(
+            input_size=16, output_size=32, attention_heads=2,
+            linear_units=64, num_blocks=1, dropout_rate=0.0,
+            positional_dropout_rate=0.0, input_layer="linear",
+        ),
+        predictor_conf=dict(embed_size=32, hidden_size=32, output_size=32,
+                            num_layers=1, embed_dropout=0.0, dropout=0.0),
+        joint_conf=dict(join_dim=32),
+        rnnt_t_chunk=4,
+    )
+    feats, flens, labels, llens = _batch(jax.random.PRNGKey(2))
+    params = model.init(jax.random.PRNGKey(3), feats, flens, labels, llens)
+    out = jax.jit(model.apply)(params, feats, flens, labels, llens)
+    np.testing.assert_allclose(
+        float(out["loss"]),
+        0.7 * float(out["loss_rnnt"]) + 0.3 * float(out["loss_rnnt_r"]),
+        rtol=1e-5,
+    )
+    assert np.isfinite(float(out["loss"]))
+    # the two branches are independent heads over the same encoder: with a
+    # palindromic batch they should still differ (separate params), but both
+    # must be finite and of similar magnitude
+    assert abs(float(out["loss_rnnt"]) - float(out["loss_rnnt_r"])) < 10.0

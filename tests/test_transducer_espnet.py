@@ -29,7 +29,8 @@ def joint_step(enc_t, pred_out):
     return jax.nn.log_softmax(logits)
 
 
-@pytest.mark.parametrize("stype", ["default", "tsd", "alsd"])
+@pytest.mark.parametrize("stype", ["default", "tsd", "alsd", "nsc",
+                                   "maes"])
 def test_synthetic_sequence_recovered(stype):
     seq = [5, 7, 3]
     # ALSD caps symbols at u_max <= T-1 (`:423`), so give it T=4 frames
@@ -165,23 +166,24 @@ def _ref_stub(shared):
     return Dec(), joint
 
 
-@pytest.mark.parametrize("stype", ["default", "tsd", "alsd"])
+@pytest.mark.parametrize("stype", ["default", "tsd", "alsd", "nsc",
+                                   "maes"])
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_reference_parity(ref_bst, stype, seed):
     import torch
 
     shared = _Shared(seed)
     dec, joint = _ref_stub(shared)
-    ref = ref_bst.BeamSearchTransducer(
-        decoder=dec, joint_network=joint, beam_size=4,
-        search_type=stype, max_sym_exp=2, u_max=50, nbest=4)
+    kw = dict(beam_size=4, search_type=stype, max_sym_exp=2, u_max=50,
+              nstep=2, prefix_alpha=2, expansion_gamma=2.3,
+              expansion_beta=2, nbest=4)
+    ref = ref_bst.BeamSearchTransducer(decoder=dec, joint_network=joint,
+                                       **kw)
     with torch.no_grad():
         ref_hyps = ref(torch.from_numpy(shared.enc))
 
     pstep, jstep, init = shared.jax_fns()
-    ours = BeamSearchTransducer(
-        pstep, jstep, init, beam_size=4, search_type=stype,
-        max_sym_exp=2, u_max=50, nbest=4)
+    ours = BeamSearchTransducer(pstep, jstep, init, **kw)
     our_hyps = ours(jnp.asarray(shared.enc))
 
     ref_seqs = [list(h.yseq) for h in ref_hyps]
