@@ -120,3 +120,99 @@ def test_override_config():
     assert out["a"]["b"] == 5 and out["c"] == "hello"
     assert out["d"]["e"] == 0.5
     assert cfg["a"]["b"] == 1  # original untouched
+
+
+# --- paraformer seg-dict tokenizer ------------------------------------------
+
+def _seg_dict():
+    return {"HELLO": "HE@@ LL@@ O", "WORLD": "WOR@@ LD", "OKAY": "OKAY"}
+
+
+def test_paraformer_tokenize_by_seg_dict():
+    from paper_accurate_fast_cheap_tpu.text.tokenizers import (
+        tokenize_by_seg_dict,
+    )
+
+    toks = tokenize_by_seg_dict(_seg_dict(), "你好 HELLO WORLD 的")
+    assert toks == ["你", "好", "HE@@", "LL@@", "O", "WOR@@", "LD", "的"]
+    # out-of-dict word passes through whole
+    assert tokenize_by_seg_dict(_seg_dict(), "FOO")[-1] == "FOO"
+
+
+def test_paraformer_beautify_result():
+    from paper_accurate_fast_cheap_tpu.text.tokenizers import (
+        paraformer_beautify_result,
+    )
+
+    # all-alpha: @@ pieces glue, words space-separated
+    assert paraformer_beautify_result(
+        ["HE@@", "LL@@", "O", "WOR@@", "LD"]) == "HELLO WORLD"
+    # all-CJK: plain concatenation
+    assert paraformer_beautify_result(["你", "好"]) == "你好"
+    # mixed: CJK adjacent to alpha word drops the trailing blank
+    assert paraformer_beautify_result(
+        ["你", "HE@@", "LL@@", "O", "好"]) == "你HELLO好"
+    # specials are washed
+    assert paraformer_beautify_result(
+        ["<sos>", "你", "<eos>"]) == "你"
+
+
+def test_paraformer_reference_parity():
+    """Run the reference's own tokenize_by_seg_dict/beautify on shared
+    inputs (`wenet/text/tokenize_utils.py`, `wenet/paraformer/search.py`)."""
+    import importlib.util as ilu
+
+    from paper_accurate_fast_cheap_tpu.text.tokenizers import (
+        paraformer_beautify_result,
+        tokenize_by_seg_dict,
+    )
+
+    spec = ilu.spec_from_file_location(
+        "ref_tok_utils", "/root/reference/wenet/text/tokenize_utils.py")
+    ref_tu = ilu.module_from_spec(spec)
+    spec.loader.exec_module(ref_tu)
+
+    # paraformer/search.py imports torch + wenet; lift just the pure
+    # beautify trio by executing its source up to the tensor code
+    src = open("/root/reference/wenet/paraformer/search.py").read()
+    ns = {"List": list, "Union": object, "Any": object}
+    import re as _re
+    funcs = _re.findall(
+        r"(def (?:_isChinese|_isAllChinese|_isAllAlpha|"
+        r"paraformer_beautify_result)\(.*?)(?=\ndef |\Z)", src, _re.S)
+    from typing import Any, List, Union
+    ns = {"Any": Any, "List": List, "Union": Union}
+    for f in funcs:
+        exec(f, ns)
+
+    texts = ["你好 HELLO WORLD 的", "HELLO OKAY WORLD", "你 好",
+             "FOO BAR 你好"]
+    for txt in texts:
+        ours = tokenize_by_seg_dict(_seg_dict(), txt)
+        ref = ref_tu.tokenize_by_seg_dict(_seg_dict(), txt)
+        assert ours == ref, (txt, ours, ref)
+        assert paraformer_beautify_result(ours) == \
+            ns["paraformer_beautify_result"](ours), txt
+
+
+def test_paraformer_tokenizer_roundtrip(tmp_path):
+    from paper_accurate_fast_cheap_tpu.text.tokenizers import (
+        ParaformerTokenizer, init_tokenizer,
+    )
+
+    units = tmp_path / "units.txt"
+    units.write_text("".join(
+        f"{t} {i}\n" for i, t in enumerate(
+            ["<blank>", "<unk>", "你", "好", "HE@@", "LL@@", "O"])))
+    seg = tmp_path / "seg.txt"
+    seg.write_text("HELLO\tHE@@ LL@@ O\n")
+    tok = ParaformerTokenizer(str(units), str(seg))
+    tokens, ids = tok.tokenize("你好 HELLO")
+    assert tokens == ["你", "好", "HE@@", "LL@@", "O"]
+    assert ids == [2, 3, 4, 5, 6]
+    text, _ = tok.detokenize(ids)
+    assert text == "你好HELLO"
+    # registry route
+    t2 = init_tokenizer({"tokenizer": "paraformer", "tokenizer_conf": {
+        "symbol_table_path": str(units), "seg_dict_path": str(seg)}})
+    assert t2.tokenize("你好 HELLO")[1] == ids
