@@ -307,42 +307,55 @@ def speed_perturb(samples, speeds=(0.9, 1.0, 1.1), rng: random.Random = None):
         yield s
 
 
-def merge_utterances(samples, min_sec: float = 75.0, max_sec: float = 85.0,
-                     add_sw_token: bool = True, sw_token: str = "<sw>"):
-    """Long-form training synthesis: concatenate consecutive utterances of
-    the same job up to a duration budget (`rev_processor.py:295-393`)."""
-    buf: List[Dict] = []
-    dur = 0.0
-    job = None
+def merge_utterances(samples, config: Optional[Dict] = None,
+                     epoch: int = 1):
+    """Long-form training synthesis — reference-exact agglomeration
+    (`rev_processor.py:295-392` generate_speaker_switch_utterances, wired
+    as `merge_utterances`/`merge_utterances_conf` in `dataset.py:75-78`):
+    an accumulating utterance absorbs its successor unless it is too short
+    to compose (``min_audio_len_acceptable_secs``), already long enough
+    (``min_audio_len_secs``), at the combine cap (``max_utt_combined``),
+    or the merge would exceed ``max_audio_len_secs``; ``<sw>`` separates
+    only speaker *changes* when ``add_sw_tag`` (speaker = key up to its
+    last '-'), and ``enable_after_epoch`` gates the whole stage."""
+    config = config or {}
+    sampling_rate = 16000
+    min_ok = config.get("min_audio_len_acceptable_secs", 1)
+    min_len = config.get("min_audio_len_secs", 30)
+    max_len = config.get("max_audio_len_secs", 40)
+    max_utt = config.get("max_utt_combined", 7)
+    add_sw = config.get("add_sw_tag", False)
+    if config.get("enable_after_epoch", -1) >= epoch:
+        yield from samples
+        return
 
-    def flush():
-        nonlocal buf, dur
-        if not buf:
-            return None
-        wav = np.concatenate([b["wav"] for b in buf])
-        joiner = f" {sw_token} " if add_sw_token else " "
-        txt = joiner.join(b["txt"] for b in buf)
-        out = dict(buf[0], wav=wav, txt=txt,
-                   key=buf[0]["key"] + f"_merged{len(buf)}")
-        buf, dur = [], 0.0
-        return out
+    def spk_of(key: str) -> str:
+        return key[: key.rindex("-")] if "-" in key else key
 
+    curr: Optional[Dict] = None
+    curr_spk = None
+    n = 0
     for s in samples:
-        sd = len(s["wav"]) / s["sample_rate"]
-        if job is not None and s.get("job") != job:
-            out = flush()
-            if out:
-                yield out
-        job = s.get("job")
-        if dur + sd > max_sec and dur >= min_sec:
-            out = flush()
-            if out:
-                yield out
-        buf.append(s)
-        dur += sd
-    out = flush()
-    if out:
-        yield out
+        spk = spk_of(s["key"])
+        if curr is None:
+            curr, curr_spk, n = dict(s), spk, 1
+            continue
+        cw = len(curr["wav"])
+        if (cw < sampling_rate * min_ok
+                or cw > sampling_rate * min_len
+                or n >= max_utt
+                or cw + len(s["wav"]) > sampling_rate * max_len):
+            yield curr
+            curr, curr_spk, n = dict(s), spk, 1
+            continue
+        n += 1
+        curr["wav"] = np.concatenate([curr["wav"], s["wav"]])
+        sep = " " if (not add_sw) or (curr_spk == spk) else " <sw> "
+        curr["txt"] = (curr["txt"] + sep + s["txt"]).replace(
+            "<sw> <sw>", "<sw>")
+        curr_spk = spk
+    if curr is not None:
+        yield curr
 
 
 def tokenize(samples, tokenizer):
@@ -819,12 +832,15 @@ def build_dataset(
         raise ValueError(f"unknown data_type {data_type!r}")
 
     stream = decode_wav(stream, num_workers=conf.get("num_workers", 0))
-    if conf.get("merge_utterances", {}).get("enabled", False):
-        mu = conf["merge_utterances"]
-        stream = merge_utterances(
-            stream, mu.get("min_sec", 75.0), mu.get("max_sec", 85.0),
-            mu.get("add_sw_token", True),
-        )
+    mu_on = conf.get("merge_utterances", False)
+    mu_conf = dict(conf.get("merge_utterances_conf", {}))
+    if isinstance(mu_on, dict):   # legacy round-1 schema
+        mu_conf.setdefault("min_audio_len_secs", mu_on.get("min_sec", 30))
+        mu_conf.setdefault("max_audio_len_secs", mu_on.get("max_sec", 40))
+        mu_conf.setdefault("add_sw_tag", mu_on.get("add_sw_token", False))
+        mu_on = mu_on.get("enabled", False)
+    if mu_on:
+        stream = merge_utterances(stream, mu_conf)
     if "speaker_conf" in conf:
         from paper_accurate_fast_cheap_tpu.text.tokenizers import (
             read_symbol_table,

@@ -100,17 +100,52 @@ def test_dynamic_batch_budget():
         assert longest * len(b) <= 500 or len(b) == 1
 
 
-def test_merge_utterances_budget_and_sw():
+def test_merge_utterances_agglomeration_rules():
+    """Reference semantics (`rev_processor.py:295-392`): absorb successors
+    until already-long / over-cap / too-short-to-compose; <sw> only at
+    speaker changes when add_sw_tag."""
     sr = 16000
-    samples = [
-        {"key": f"u{i}", "wav": np.zeros(sr * 30, np.float32),
-         "sample_rate": sr, "txt": f"t{i}", "job": "j0"}
-        for i in range(6)
-    ]
-    out = list(pl.merge_utterances(iter(samples), min_sec=75, max_sec=85))
+    conf = dict(min_audio_len_acceptable_secs=0.3, min_audio_len_secs=65,
+                max_audio_len_secs=75, add_sw_tag=True)
+
+    def utt(i, spk, secs=30):
+        return {"key": f"{spk}-{i:04d}",
+                "wav": np.zeros(sr * secs, np.float32),
+                "sample_rate": sr, "txt": f"t{i}"}
+
+    # same speaker: 30+30=60 <= 75 merges; +30 would exceed 75 -> flush
+    samples = [utt(i, "spkA") for i in range(6)]
+    out = list(pl.merge_utterances(iter(samples), conf))
+    assert [len(o["wav"]) // sr for o in out] == [60, 60, 60]
+    assert "<sw>" not in out[0]["txt"]          # no speaker change
+    assert out[0]["txt"] == "t0 t1"
+
+    # speaker change inserts <sw>
+    out = list(pl.merge_utterances(
+        iter([utt(0, "spkA"), utt(1, "spkB")]), conf))
+    assert len(out) == 1 and out[0]["txt"] == "t0 <sw> t1"
+
+    # already-long utterances are left alone
+    out = list(pl.merge_utterances(
+        iter([utt(0, "spkA", secs=70), utt(1, "spkA")]), conf))
+    assert [len(o["wav"]) // sr for o in out] == [70, 30]
+
+    # too-short head skips agglomeration entirely
+    out = list(pl.merge_utterances(
+        iter([utt(0, "spkA", secs=0), utt(1, "spkA")]), conf))
+    assert [len(o["wav"]) // sr for o in out] == [0, 30]
+
+    # enable_after_epoch gate: pass-through
+    out = list(pl.merge_utterances(
+        iter([utt(0, "spkA"), utt(1, "spkA")]),
+        dict(conf, enable_after_epoch=5)))
     assert len(out) == 2
-    assert "<sw>" in out[0]["txt"]
-    assert len(out[0]["wav"]) == sr * 90  # 3 x 30s (85 cap hit after >= 75)
+
+    # max_utt_combined cap
+    out = list(pl.merge_utterances(
+        iter([utt(i, "spkA", secs=1) for i in range(10)]),
+        dict(conf, max_utt_combined=4)))
+    assert [len(o["wav"]) // sr for o in out] == [4, 4, 2]
 
 
 def test_speed_perturb_changes_length():
