@@ -18,6 +18,8 @@ def get_args(argv=None):
     p.add_argument("--giga", action="store_true",
                    help="GigaSpeech filtering (compute-wer-giga)")
     p.add_argument("--upper", action="store_true", help="uppercase both")
+    p.add_argument("--char", action="store_true",
+                   help="character error rate (tools/compute-cer.py)")
     p.add_argument("--verbose", "-v", action="store_true")
     p.add_argument("--longform", action="store_true",
                    help="treat each key as a file; print macro summary")
@@ -31,7 +33,8 @@ def main(argv=None):
     refs = wer_lib.read_trn(args.ref)
     hyps = wer_lib.read_trn(args.hyp)
     total, per_utt = wer_lib.compute_wer(
-        refs, hyps, gigaspeech_filter=args.giga, to_upper=args.upper
+        refs, hyps, gigaspeech_filter=args.giga, to_upper=args.upper,
+        to_char=args.char,
     )
     if args.verbose:
         for key, st in per_utt.items():

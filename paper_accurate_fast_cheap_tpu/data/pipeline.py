@@ -307,6 +307,43 @@ def speed_perturb(samples, speeds=(0.9, 1.0, 1.1), rng: random.Random = None):
         yield s
 
 
+def filter_wordy(samples, stats: Optional[Dict] = None):
+    """Reject implausibly wordy utterances by words-per-second bands
+    (`rev_processor_ex.py:312-348`): dur<=1s: wps>5; <=2s: wps>8;
+    <=5s: wps>6; else wps>5.  ``<sw>`` tags don't count as words."""
+    stats = stats if stats is not None else {}
+    for s in samples:
+        dur = len(s["wav"]) / s["sample_rate"]
+        nwds = len(s["txt"].replace("<sw> ", " ").split())
+        wps = nwds / dur if dur > 0 else float("inf")
+        if dur <= 1:
+            reject, bucket = wps > 5, "reject_1"
+        elif dur <= 2:
+            reject, bucket = wps > 8, "reject_2"
+        elif dur <= 5:
+            reject, bucket = wps > 6, "reject_5"
+        else:
+            reject, bucket = wps > 5, "reject_9"
+        if reject:
+            stats[bucket] = stats.get(bucket, 0) + 1
+            continue
+        stats["ok"] = stats.get("ok", 0) + 1
+        yield s
+
+
+def exclude_keys(samples, exclude_fn: str, stats: Optional[Dict] = None):
+    """Drop utterances whose key appears in the exclusion-list file
+    (`rev_processor_ex.py:350-365`)."""
+    stats = stats if stats is not None else {}
+    with open(exclude_fn) as reader:
+        to_exclude = {line.strip() for line in reader if line.strip()}
+    for s in samples:
+        if s["key"] in to_exclude:
+            stats["excluded_by_key"] = stats.get("excluded_by_key", 0) + 1
+            continue
+        yield s
+
+
 def merge_utterances(samples, config: Optional[Dict] = None,
                      epoch: int = 1):
     """Long-form training synthesis — reference-exact agglomeration
@@ -867,6 +904,10 @@ def build_dataset(
         stream = filter_long_yeah_okay(
             stream, fc.get("too_long_duration", 1.5),
             fc.get("word_subset"))
+    if conf.get("filter_wordy", False):
+        stream = filter_wordy(stream)
+    if conf.get("exclude_keys_fn"):
+        stream = exclude_keys(stream, conf["exclude_keys_fn"])
     if "resample_conf" in conf:
         stream = resample(stream,
                           conf["resample_conf"].get("resample_rate", 16000))

@@ -109,6 +109,48 @@ def align_words(ref: Sequence[str], hyp: Sequence[str]) -> AlignStats:
     return st
 
 
+_CER_SPACES = [" ", "\t", "\r", "\n"]
+_CER_PUNCTS = [
+    "!", ",", "?", "、", "。", "！", "，", "；", "？", "：", "「", "」",
+    "︰", "『", "』", "《", "》",
+]
+
+
+def characterize(string: str) -> List[str]:
+    """Split text into CER units (`tools/compute-cer.py:16-47`): CJK
+    letters one per unit, ASCII runs grouped into words, `<...>` tags kept
+    whole, punctuation/space dropped."""
+    import unicodedata
+
+    res: List[str] = []
+    i = 0
+    while i < len(string):
+        char = string[i]
+        if char in _CER_PUNCTS:
+            i += 1
+            continue
+        cat1 = unicodedata.category(char)
+        if cat1 in ("Zs", "Cn") or char in _CER_SPACES:
+            i += 1
+            continue
+        if cat1 == "Lo":      # letter-other (CJK etc.)
+            res.append(char)
+            i += 1
+            continue
+        sep = ">" if char == "<" else " "
+        j = i + 1
+        while j < len(string):
+            c = string[j]
+            if ord(c) >= 128 or c in _CER_SPACES or c == sep:
+                break
+            j += 1
+        if j < len(string) and string[j] == ">":
+            j += 1
+        res.append(string[i:j])
+        i = j
+    return res
+
+
 def read_trn(path: str) -> Dict[str, str]:
     """'key text...' per line."""
     out = {}
@@ -126,6 +168,7 @@ def compute_wer(
     hyps: Dict[str, str],
     gigaspeech_filter: bool = False,
     to_upper: bool = False,
+    to_char: bool = False,
 ) -> Tuple[AlignStats, Dict[str, AlignStats]]:
     total = AlignStats()
     per_utt = {}
@@ -136,7 +179,12 @@ def compute_wer(
             hyp_text = gigaspeech_post_process(hyp_text)
         elif to_upper:
             ref_text, hyp_text = ref_text.upper(), hyp_text.upper()
-        st = align_words(ref_text.split(), hyp_text.split())
+        if to_char:
+            ref_toks = characterize(ref_text)
+            hyp_toks = characterize(hyp_text)
+        else:
+            ref_toks, hyp_toks = ref_text.split(), hyp_text.split()
+        st = align_words(ref_toks, hyp_toks)
         per_utt[key] = st
         total += st
     return total, per_utt

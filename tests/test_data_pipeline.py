@@ -409,3 +409,90 @@ def test_deep_bias_and_lang_stages(tok, tmp_path):
         iter([{"txt": "hello"}, {"txt": "你好"}]), ("zh", "en"))))
     assert langed[0]["lang"] == "en" and langed[1]["lang"] == "zh"
     assert all(s["task"] == "transcribe" for s in langed)
+
+
+def test_filter_wordy_bands():
+    sr = 16000
+
+    def utt(secs, words):
+        return {"key": "k", "wav": np.zeros(int(sr * secs), np.float32),
+                "sample_rate": sr, "txt": " ".join(["w"] * words)}
+
+    stats = {}
+    out = list(pl.filter_wordy(iter([
+        utt(0.9, 4),    # 4.4 wps <= 5 -> keep
+        utt(0.9, 6),    # 6.7 wps > 5 -> reject_1
+        utt(1.5, 11),   # 7.3 <= 8 -> keep
+        utt(1.5, 13),   # 8.7 > 8 -> reject_2
+        utt(4.0, 25),   # 6.25 > 6 -> reject_5
+        utt(10.0, 49),  # 4.9 <= 5 -> keep
+        utt(10.0, 51),  # 5.1 > 5 -> reject_9
+    ]), stats))
+    assert len(out) == 3 and stats["ok"] == 3
+    assert stats == {"ok": 3, "reject_1": 1, "reject_2": 1,
+                     "reject_5": 1, "reject_9": 1}
+    # <sw> doesn't count as a word
+    s = utt(0.9, 4)
+    s["txt"] = "<sw> " + s["txt"]
+    assert len(list(pl.filter_wordy(iter([s])))) == 1
+
+
+def test_exclude_keys(tmp_path):
+    fn = tmp_path / "excl.txt"
+    fn.write_text("bad1\nbad2\n")
+    samples = [{"key": k} for k in ["ok1", "bad1", "ok2", "bad2"]]
+    stats = {}
+    out = list(pl.exclude_keys(iter(samples), str(fn), stats))
+    assert [s["key"] for s in out] == ["ok1", "ok2"]
+    assert stats["excluded_by_key"] == 2
+
+
+def test_compute_fbank_feats_cli(tmp_path):
+    """wav.scp (+segments) -> kaldi ark/scp roundtrip
+    (`tools/compute_fbank_feats.py`)."""
+    from paper_accurate_fast_cheap_tpu.bin import compute_fbank_feats as cf
+    from paper_accurate_fast_cheap_tpu.data import kaldi_io
+
+    rng = np.random.RandomState(0)
+    wav_path = tmp_path / "a.wav"
+    wav_path.write_bytes(_wav_bytes(rng.randn(32000) * 0.1))
+    scp = tmp_path / "wav.scp"
+    scp.write_text(f"a {wav_path}\n")
+    seg = tmp_path / "segments"
+    seg.write_text("a-001 a 0.0 1.0\na-002 a 1.0 2.0\n")
+    out_ark, out_scp = tmp_path / "f.ark", tmp_path / "f.scp"
+    assert cf.main([str(scp), str(out_ark), str(out_scp),
+                    "--segments", str(seg)]) == 0
+    got = dict(kaldi_io.read_scp(str(out_scp)))
+    assert set(got) == {"a-001", "a-002"}
+    # 1 s at 25/10 ms -> 98 frames, 80 bins
+    assert got["a-001"].shape == (98, 80)
+    assert np.isfinite(got["a-001"]).all()
+
+    # no-segments route: whole file
+    assert cf.main([str(scp), str(out_ark), str(out_scp)]) == 0
+    got = dict(kaldi_io.read_scp(str(out_scp)))
+    assert got["a"].shape == (198, 80)
+
+
+def test_cer_characterize_and_mode(tmp_path):
+    import unicodedata
+
+    from paper_accurate_fast_cheap_tpu.tools import wer as wer_lib
+
+    # parity vs the reference's own characterize (tools/compute-cer.py),
+    # including its quirks (ASCII runs absorb mid-run punctuation)
+    src = open("/root/reference/tools/compute-cer.py").read()
+    ns = {"unicodedata": unicodedata}
+    exec(src[src.index("spacelist ="):src.index("def stripoff_tags")], ns)
+    for t in ["你好 HELLO,<unk>的!", "你好 HELLO , <unk>的!",
+              "IT'S <noise>OK 了。", "abc<unk><noise>x", "《你》 A-B 123",
+              "HELLO WORLD", ""]:
+        assert wer_lib.characterize(t) == ns["characterize"](t), t
+
+    total, _ = wer_lib.compute_wer({"u1": "你好吗"}, {"u1": "你好 吗"},
+                                   to_char=True)
+    assert total.wer == 0.0
+    total, _ = wer_lib.compute_wer({"u1": "你好吗"}, {"u1": "你坏吗"},
+                                   to_char=True)
+    assert total.sub == 1 and total.ref_len == 3
