@@ -86,6 +86,35 @@ def analyze(args):
     return 0
 
 
+def segments_to_files(args):
+    """Merge per-segment transcriptions into one text file per source
+    recording for long-form scoring (`local/segments_to_files.py`: file id
+    = utt id up to its last '_'; reads 'utt text...' lines from stdin or
+    --input, writes <out_dir>/<file_id>.txt).  The reference script's
+    stale-handle bug (writing before opening) is not reproduced."""
+    import os
+
+    src = open(args.input, encoding="utf8") if args.input else sys.stdin
+    files: dict = {}
+    for line in src:
+        parts = line.split()
+        if not parts:
+            continue
+        utt_id = parts[0]
+        file_id = "_".join(utt_id.split("_")[:-1]) or utt_id
+        files[file_id] = files.get(file_id, "") + " ".join(parts[1:]) + " "
+    if args.input:
+        src.close()
+    os.makedirs(args.out_dir, exist_ok=True)
+    ext = args.ext if args.ext.startswith(".") else "." + args.ext
+    for file_id, text in files.items():
+        with open(os.path.join(args.out_dir, file_id + ext), "w",
+                  encoding="utf8") as f:
+            f.write(text)
+    print(f"wrote {len(files)} files to {args.out_dir}", file=sys.stderr)
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="data utilities")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -100,9 +129,15 @@ def main(argv=None):
     a.add_argument("--data", required=True)
     a.add_argument("--data_type", default="shard",
                    choices=["raw", "shard"])
+    s = sub.add_parser("segments_to_files")
+    s.add_argument("--input", default=None,
+                   help="'utt text...' lines (default: stdin)")
+    s.add_argument("--out_dir", required=True)
+    s.add_argument("--ext", default=".ref_txt")
     args = p.parse_args(argv)
     return {"make_raw_list": make_raw_list, "wav2dur": wav2dur,
-            "analyze": analyze}[args.cmd](args)
+            "analyze": analyze,
+            "segments_to_files": segments_to_files}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -213,3 +213,19 @@ def test_lf_sweep_driver(trained, tmp_path):
     for chunk in (120, 200):
         s = (out_dir / f"chunk{chunk}" / "summary.txt").read_text()
         assert "wer" in s and "num_files 2" in s
+
+
+def test_segments_to_files(tmp_path):
+    from paper_accurate_fast_cheap_tpu.bin import data_tools
+
+    inp = tmp_path / "text"
+    inp.write_text(
+        "fileA_001 hello there\nfileA_002 again\nfileB_001 other\n")
+    out = tmp_path / "refs"
+    rc = data_tools.main([
+        "segments_to_files", "--input", str(inp),
+        "--out_dir", str(out), "--ext", ".ref_txt"])
+    assert rc == 0
+    assert (out / "fileA.ref_txt").read_text().split() == \
+        ["hello", "there", "again"]
+    assert (out / "fileB.ref_txt").read_text().split() == ["other"]

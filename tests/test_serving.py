@@ -179,3 +179,45 @@ def test_decode_worker_microbatches():
     assert all(r is not None for r in results)
     assert max(calls) >= 2  # at least one real micro-batch formed
     assert sum(calls) == 6
+
+
+def test_ws_bench_concurrency(workspace, tmp_path):  # noqa: F811
+    """performance-ws equivalent: N concurrent requests through the
+    micro-batching server, transcriptions + latency stats + CER."""
+    from paper_accurate_fast_cheap_tpu.api import load_model
+    from paper_accurate_fast_cheap_tpu.bin import serve, ws_bench
+    from paper_accurate_fast_cheap_tpu.bin.train import main as train_main
+
+    model_dir = workspace / "exp_serve"
+    if not model_dir.exists():
+        assert train_main([
+            "--config", str(workspace / "train.yaml"),
+            "--train_data", str(workspace / "shards.txt"),
+            "--data_type", "shard", "--model_dir", str(model_dir),
+            "--num_epochs", "1",
+        ]) == 0
+    model = load_model(str(model_dir))
+    srv = serve.serve(model, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.RandomState(1)
+        scp_lines, trn_lines = [], []
+        for i in range(4):
+            p = tmp_path / f"b{i}.wav"
+            p.write_bytes(_wav_bytes(rng.randn(8000) * 0.05))
+            scp_lines.append(f"b{i} {p}")
+            trn_lines.append(f"b{i} hello")
+        scp = tmp_path / "wav.scp"
+        scp.write_text("\n".join(scp_lines) + "\n")
+        trn = tmp_path / "ref.trn"
+        trn.write_text("\n".join(trn_lines) + "\n")
+        save = tmp_path / "hyp.trn"
+        rc = ws_bench.main([
+            "-u", "127.0.0.1", "-p", str(port), "-w", str(scp),
+            "-t", str(trn), "-s", str(save), "-n", "2"])
+        assert rc == 0
+        assert len(save.read_text().splitlines()) == 4
+    finally:
+        srv.shutdown()
