@@ -115,6 +115,69 @@ def segments_to_files(args):
     return 0
 
 
+def segment_scp(args):
+    """Produce a segmented wav.scp: 'utt path,start,end'
+    (`tools/segment.py:25-36`)."""
+    wav_dic = {}
+    with open(args.input, encoding="utf8") as ori:
+        for line in ori:
+            item = line.strip().split()
+            if item:
+                wav_dic[item[0]] = item[1]
+    n = 0
+    with open(args.output, "w", encoding="utf8") as f, \
+            open(args.segments, encoding="utf8") as seg:
+        for line in seg:
+            item = line.strip().split()
+            if item and item[1] in wav_dic:
+                f.write(f"{item[0]} {wav_dic[item[1]]},{item[2]},"
+                        f"{item[3]}\n")
+                n += 1
+    print(f"wrote {n} segmented entries", file=sys.stderr)
+    return 0
+
+
+def gigaspeech_meta(args):
+    """GigaSpeech.json -> kaldi-style metadata files (text, segments,
+    utt2dur, wav.scp, utt2subsets, reco2dur)
+    (`local/extract_meta.py:24-86`)."""
+    import json
+    import os
+
+    input_dir = os.path.dirname(os.path.abspath(args.input_json))
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(args.input_json, encoding="utf8") as injson:
+        json_data = json.load(injson)
+    out = {name: open(os.path.join(args.output_dir, name), "w",
+                      encoding="utf8")
+           for name in ("text", "segments", "utt2dur", "wav.scp",
+                        "utt2subsets", "reco2dur")}
+    try:
+        for audio in json_data.get("audios") or []:
+            aid = audio.get("aid", "?")
+            path = os.path.realpath(
+                os.path.join(input_dir, audio.get("path", "")))
+            if not os.path.exists(path) or \
+                    audio.get("sample_rate") != 16000:
+                print(f"Warning: {aid} missing file or bad rate, skipped",
+                      file=sys.stderr)
+                continue
+            out["wav.scp"].write(f"{aid}\t{path}\n")
+            out["reco2dur"].write(f"{aid}\t{audio['duration']}\n")
+            for seg in audio.get("segments", []):
+                sid = seg["sid"]
+                start, end = seg["begin_time"], seg["end_time"]
+                out["text"].write(f"{sid}\t{seg['text_tn']}\n")
+                out["segments"].write(f"{sid}\t{aid}\t{start}\t{end}\n")
+                out["utt2dur"].write(f"{sid}\t{end - start}\n")
+                out["utt2subsets"].write(
+                    f"{sid}\t{' '.join(seg.get('subsets', []))}\n")
+    finally:
+        for f in out.values():
+            f.close()
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="data utilities")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -134,10 +197,18 @@ def main(argv=None):
                    help="'utt text...' lines (default: stdin)")
     s.add_argument("--out_dir", required=True)
     s.add_argument("--ext", default=".ref_txt")
+    g = sub.add_parser("segment_scp")
+    g.add_argument("--segments", required=True)
+    g.add_argument("--input", required=True, help="unsegmented wav.scp")
+    g.add_argument("--output", required=True)
+    m = sub.add_parser("gigaspeech_meta")
+    m.add_argument("--input_json", required=True)
+    m.add_argument("--output_dir", required=True)
     args = p.parse_args(argv)
     return {"make_raw_list": make_raw_list, "wav2dur": wav2dur,
-            "analyze": analyze,
-            "segments_to_files": segments_to_files}[args.cmd](args)
+            "analyze": analyze, "segments_to_files": segments_to_files,
+            "segment_scp": segment_scp,
+            "gigaspeech_meta": gigaspeech_meta}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -229,3 +229,40 @@ def test_segments_to_files(tmp_path):
     assert (out / "fileA.ref_txt").read_text().split() == \
         ["hello", "there", "again"]
     assert (out / "fileB.ref_txt").read_text().split() == ["other"]
+
+
+def test_segment_scp_and_gigaspeech_meta(tmp_path):
+    import json
+
+    from paper_accurate_fast_cheap_tpu.bin import data_tools
+
+    scp = tmp_path / "wav.scp"
+    scp.write_text("recA /x/a.wav\n")
+    seg = tmp_path / "segments"
+    seg.write_text("recA_001 recA 0.0 1.5\nrecA_002 recA 1.5 3.0\n")
+    out = tmp_path / "seg.scp"
+    assert data_tools.main(["segment_scp", "--segments", str(seg),
+                            "--input", str(scp),
+                            "--output", str(out)]) == 0
+    assert out.read_text().splitlines() == [
+        "recA_001 /x/a.wav,0.0,1.5", "recA_002 /x/a.wav,1.5,3.0"]
+
+    # gigaspeech meta extraction
+    audio = tmp_path / "audio.opus"
+    audio.write_bytes(b"x")
+    meta = {"audios": [{
+        "aid": "POD1", "path": audio.name, "duration": 12.5,
+        "format": "opus", "sample_rate": 16000,
+        "segments": [{"sid": "POD1_S1", "begin_time": 0.0,
+                      "end_time": 4.0, "text_tn": "HELLO WORLD",
+                      "subsets": ["{XL}", "{DEV}"]}],
+    }]}
+    mj = tmp_path / "GigaSpeech.json"
+    mj.write_text(json.dumps(meta))
+    od = tmp_path / "meta"
+    assert data_tools.main(["gigaspeech_meta", "--input_json", str(mj),
+                            "--output_dir", str(od)]) == 0
+    assert (od / "text").read_text() == "POD1_S1\tHELLO WORLD\n"
+    assert (od / "segments").read_text() == "POD1_S1\tPOD1\t0.0\t4.0\n"
+    assert "POD1" in (od / "wav.scp").read_text()
+    assert (od / "utt2subsets").read_text() == "POD1_S1\t{XL} {DEV}\n"
