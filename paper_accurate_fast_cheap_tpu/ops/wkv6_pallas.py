@@ -405,6 +405,231 @@ def _v5_head(r, k, v, w, u, *, L: int, N: int, cd):
     return y + y_bet, q2 * jnp.exp(pfx), b[NB - N :]
 
 
+def _kernel_v6(r_ref, k_ref, v_ref, w_ref, u_ref,
+               yt_ref, qg_ref, kvt_ref, *, L: int, N: int, G: int):
+    """v6 (two-pass, pass 1): lane-packed heads + issue-minimal MXU dots.
+
+    v5's cost profile (measured by kernel-body ablation on the v5e) is NOT
+    the math: each grid step issued ~34 MXU dots per head (16 sub-block KV
+    summaries + 16 state applies + intra), i.e. ~270 tiny op issues per
+    step, plus all VPU work ran on (L, 64) half-filled lanes.  v6 fixes
+    both structurally:
+
+    * all VPU work (decay cumsums, exp factors, the Hillis-Steele scan)
+      runs once on (L, G*N) / (NB, G*N) arrays — G heads packed into the
+      lane dimension, full 8x128 tiles, one op issue instead of G;
+    * the per-head sub-block dots collapse to TWO dots per head by
+      block-expansion:
+        - KV^T summaries: one (L, NB)x(L, N) dot on a lane-tiled,
+          block-masked copy of v (out rows j*N+p stack the sub-blocks);
+        - state apply: one (NB, N)x(L, N) dot (contracting the key
+          channel) followed by a masked row-block reduction;
+      both contract with `dot_general` dimension numbers instead of data
+      transposes (Mosaic supports transposed-operand dots, proven in v4);
+    * the cross-sub-block scan runs in the TRANSPOSED state orientation
+      (rows = value channel, lanes = key channel) so the per-row decay is
+      a plain sublane broadcast of the sub-block totals — no
+      diagonal-extraction trick (v5's `adiag`) at all;
+    * the intra diagonal (bonus-u) term is embedded on the diagonal of the
+      masked (L, L) A matrix, so the intra output needs no extra
+      elementwise pass and can be produced directly in transposed
+      orientation.
+
+    Because the state is transposed, the kernel writes y TRANSPOSED
+    ((G*N, L) per chunk) and the chunk KV summaries transposed; XLA
+    untransposes during unpacking (fused with the existing layout moves).
+    Per grid step: 4 MXU issues per head (vs ~34) and ~1/4 the VPU issue
+    count.  Math identical to v5 (same recentring, same clamp).
+    """
+    f32 = jnp.float32
+    cd = jnp.bfloat16 if qg_ref.dtype == jnp.bfloat16 else jnp.float32
+    GN = G * N
+    nb = L // SUB
+    NB = nb * N
+
+    r = r_ref[0].astype(f32)          # (L, GN)
+    k = k_ref[0].astype(f32)
+    v = v_ref[0].astype(f32)
+    w = w_ref[0].astype(f32)
+    u = u_ref[0].astype(f32)          # (1, GN)
+
+    w = jnp.minimum(w, np.log(160.0 / (SUB + 2)))
+    lw = -jnp.exp(w)
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+
+    def shift_down(x, s):
+        return jnp.concatenate([jnp.zeros((s, x.shape[1]), f32), x[:-s]], 0)
+
+    def shift_up(x, s):
+        return jnp.concatenate([x[s:], jnp.zeros((s, x.shape[1]), f32)], 0)
+
+    Bi = lw
+    s = 1
+    while s < SUB:
+        Bi = Bi + jnp.where((rows1 % SUB) >= s, shift_down(Bi, s), 0.0)
+        s *= 2
+    sfx = lw
+    s = 1
+    while s < SUB:
+        sfx = sfx + jnp.where((rows1 % SUB) < SUB - s, shift_up(sfx, s), 0.0)
+        s *= 2
+    sfx = sfx - lw
+    F = lw
+    s = 1
+    while s < L:
+        F = F + jnp.where(rows1 >= s, shift_down(F, s), 0.0)
+        s *= 2
+    Be = Bi - lw
+    total = Bi + sfx
+    pfx = F - Bi
+
+    m = 0.5 * total
+    q_mid = (r * jnp.exp(Be - m)).astype(cd)
+    k_mid = (k * jnp.exp(m - Bi)).astype(cd)
+    q2 = (r * jnp.exp(Be)).astype(cd)
+    k_tail = (k * jnp.exp(sfx)).astype(cd)
+    qg_ref[0] = (r * jnp.exp(Be + pfx)).astype(qg_ref.dtype)
+    ruk = r * u * k
+    vc = v.astype(cd)
+
+    rowL = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    colL = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    intra = (rowL > colL) & ((rowL // SUB) == (colL // SUB))
+    on_diag = rowL == colL
+    # block-expansion mask (L, NB): keep lane j*N+p when t // SUB == j
+    tL = jax.lax.broadcasted_iota(jnp.int32, (L, NB), 0) // SUB
+    jL = jax.lax.broadcasted_iota(jnp.int32, (L, NB), 1) // N
+    bsel = tL == jL
+    # row-block reduce mask (NB, L): keep (j*N+p, t) when t // SUB == j
+    rZ = jax.lax.broadcasted_iota(jnp.int32, (NB, L), 0) // N
+    tZ = jax.lax.broadcasted_iota(jnp.int32, (NB, L), 1) // SUB
+    zsel = rZ == tZ
+
+    # per-sub-block KV^T summaries, one dot per head (rows j*N+p, lanes n)
+    kvt_cols = []
+    for g in range(G):
+        sl = slice(g * N, (g + 1) * N)
+        v_exp = jnp.where(
+            bsel, jnp.concatenate([vc[:, sl]] * nb, axis=1), 0.0
+        ).astype(cd)                                     # (L, NB)
+        kvt_cols.append(jax.lax.dot_general(
+            v_exp, k_tail[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=f32))                 # (NB, N)
+    b = jnp.concatenate(kvt_cols, axis=1)                # (NB, GN)
+
+    # Hillis-Steele over sub-blocks; decay = sublane-broadcast block totals
+    tot_blk = total.reshape(nb, SUB, GN)[:, SUB - 1]     # (nb, GN)
+    a = jnp.exp(jnp.broadcast_to(
+        tot_blk[:, None, :], (nb, N, GN)).reshape(NB, GN))
+    off = 1
+    while off < nb:
+        sh = off * N
+        a_prev = jnp.concatenate(
+            [jnp.ones((sh, GN), f32), a[: NB - sh]], axis=0)
+        b_prev = jnp.concatenate(
+            [jnp.zeros((sh, GN), f32), b[: NB - sh]], axis=0)
+        b = a * b_prev + b
+        a = a * a_prev
+        off *= 2
+    s_beforeT = jnp.concatenate(
+        [jnp.zeros((N, GN), f32), b[: NB - N]], axis=0).astype(cd)
+    kvt_ref[0] = b[NB - N:]                              # (N, GN)
+
+    y_rows = []
+    for g in range(G):
+        sl = slice(g * N, (g + 1) * N)
+        A = jax.lax.dot_general(
+            q_mid[:, sl], k_mid[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                  # (L, L)
+        diag = jnp.sum(ruk[:, sl], axis=-1, keepdims=True)
+        A = jnp.where(intra, A, jnp.where(on_diag, diag, 0.0)).astype(cd)
+        # y_intra^T: out[p, t] = sum_s v[s, p] * A[t, s]
+        yT = jax.lax.dot_general(
+            vc[:, sl], A, (((0,), (1,)), ((), ())),
+            preferred_element_type=f32)                  # (N, L)
+        # cross-sub-block apply: Z[j*N+p, t] = sum_n S^T[j*N+p, n] q2[t, n]
+        Z = jax.lax.dot_general(
+            s_beforeT[:, sl], q2[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                  # (NB, L)
+        yT = yT + jnp.sum(
+            jnp.where(zsel, Z, 0.0).reshape(nb, N, L), axis=0)
+        y_rows.append(yT)
+    yt_ref[0] = jnp.concatenate(y_rows, axis=0).astype(yt_ref.dtype)
+
+
+def _pick_group(H: int) -> int:
+    for g in (8, 4, 2):
+        if H % g == 0:
+            return g
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_size",))
+def _wkv6_pallas_chunks_v6(r, k, v, w, u, chunk_size: int = 256):
+    """v6 pass 1 wrapper: same return contract as `_wkv6_pallas_chunks`
+    (y_loc f32, qg, kv in standard key-row orientation, tot), with the
+    lane-packed kernel and XLA-side pack/unpack layout moves."""
+    B, T, H, N = r.shape
+    L = int(chunk_size)
+    L = max(SUB, (L // SUB) * SUB)
+    pad = (-T) % L
+    if pad:
+        zpad = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        r, k, v = zpad(r), zpad(k), zpad(v)
+        w = jnp.pad(w, ((0, 0), (0, pad), (0, 0), (0, 0)),
+                    constant_values=-1e30)
+    Tp = T + pad
+    C = Tp // L
+    BH = B * H
+    G = _pick_group(H)
+    P = B * (H // G)
+    GN = G * N
+
+    def pack(x):  # (B, Tp, H, N) -> (P, Tp, G*N), lane = g*N + n
+        return x.reshape(B, Tp, H // G, G, N).transpose(
+            0, 2, 1, 3, 4).reshape(P, Tp, GN)
+
+    rb, kb, vb, wb = map(pack, (r, k, v, w))
+    ub = jnp.broadcast_to(
+        u.reshape(1, H // G, 1, GN), (B, H // G, 1, GN)).reshape(P, 1, GN)
+
+    cdtype = r.dtype if r.dtype == jnp.bfloat16 else jnp.float32
+    spec = pl.BlockSpec((1, L, GN), lambda p, c: (p, c, 0))
+    yt, qg, kvt = pl.pallas_call(
+        functools.partial(_kernel_v6, L=L, N=N, G=G),
+        out_shape=(
+            jax.ShapeDtypeStruct((P, C * GN, L), jnp.float32),
+            jax.ShapeDtypeStruct((P, Tp, GN), cdtype),
+            jax.ShapeDtypeStruct((P, C * N, GN), jnp.float32),
+        ),
+        grid=(P, C),
+        in_specs=[spec, spec, spec, spec,
+                  pl.BlockSpec((1, 1, GN), lambda p, c: (p, 0, 0))],
+        out_specs=(
+            pl.BlockSpec((1, GN, L), lambda p, c: (p, c, 0)),
+            spec,
+            pl.BlockSpec((1, N, GN), lambda p, c: (p, c, 0)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(rb, kb, vb, wb, ub)
+
+    # unpack (transposes fuse with surrounding XLA layout moves)
+    y_loc = yt.reshape(B, H // G, C, G, N, L).transpose(
+        0, 1, 3, 2, 5, 4).reshape(BH, C, L, N)
+    qg = qg.reshape(B, H // G, C, L, G, N).transpose(
+        0, 1, 4, 2, 3, 5).reshape(BH, C, L, N)
+    # kvt per chunk is (N_val, G, N_key) -> standard (N_key, N_val)
+    kv = kvt.reshape(B, H // G, C, N, G, N).transpose(
+        0, 1, 4, 2, 5, 3).reshape(BH, C, N, N)
+    w_cl = jnp.minimum(w.astype(jnp.float32), np.log(160.0 / (SUB + 2)))
+    tot = -jnp.exp(w_cl).reshape(B, C, L, H, N).sum(axis=2)
+    tot = tot.transpose(0, 2, 1, 3).reshape(BH, C, N)
+    return y_loc, qg, kv, tot
+
+
 def _kernel_v5(r_ref, k_ref, v_ref, w_ref, u_ref,
                y_ref, qg_ref, kv_ref, *, L: int, N: int, G: int):
     """v5 (two-pass, pass 1): per-chunk kernel with NO serial state chain.
@@ -497,9 +722,9 @@ def _wkv6_pallas_chunks(r, k, v, w, u, chunk_size: int = 256):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("chunk_size", "return_state"))
+    jax.jit, static_argnames=("chunk_size", "return_state", "version"))
 def _wkv6_pallas_two_pass(r, k, v, w, u, state=None, chunk_size: int = 256,
-                          return_state: bool = False):
+                          return_state: bool = False, version: int = 6):
     """Two-pass WKV6: parallel per-chunk Pallas kernel + log-depth XLA
     cross-chunk combine + one batched MXU matmul.  Supports carried-in
     state and cheap final-state output (both just enter the chunk scan).
@@ -507,8 +732,9 @@ def _wkv6_pallas_two_pass(r, k, v, w, u, state=None, chunk_size: int = 256,
     B, T, H, N = r.shape
     out_dtype = r.dtype
     BH = B * H
-    y_loc, qg, kv, tot = _wkv6_pallas_chunks(r, k, v, w, u,
-                                             chunk_size=chunk_size)
+    chunks_fn = (_wkv6_pallas_chunks_v6 if version >= 6
+                 else _wkv6_pallas_chunks)
+    y_loc, qg, kv, tot = chunks_fn(r, k, v, w, u, chunk_size=chunk_size)
     C = kv.shape[1]
     a = jnp.exp(tot)                                    # (BH, C, N) <= 1
 
@@ -635,21 +861,24 @@ def _wkv6_pallas_fwd(r, k, v, w, u, state=None, chunk_size: int = 256,
     return y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _wkv6_pallas_diff(r, k, v, w, u, state, chunk_size, return_state):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _wkv6_pallas_diff(r, k, v, w, u, state, chunk_size, return_state,
+                      version=6):
     return _wkv6_pallas_two_pass(r, k, v, w, u, state=state,
                                  chunk_size=chunk_size,
-                                 return_state=return_state)
+                                 return_state=return_state,
+                                 version=version)
 
 
-def _diff_fwd(r, k, v, w, u, state, chunk_size, return_state):
+def _diff_fwd(r, k, v, w, u, state, chunk_size, return_state, version=6):
     out = _wkv6_pallas_two_pass(r, k, v, w, u, state=state,
                                 chunk_size=chunk_size,
-                                return_state=return_state)
+                                return_state=return_state,
+                                version=version)
     return out, (r, k, v, w, u, state)
 
 
-def _diff_bwd(chunk_size, return_state, res, g):
+def _diff_bwd(chunk_size, return_state, version, res, g):
     from paper_accurate_fast_cheap_tpu.ops.wkv6 import wkv6_chunked
 
     r, k, v, w, u, state = res
@@ -669,14 +898,15 @@ def wkv6_pallas(r, k, v, w, u, state=None, chunk_size: int = 256,
     """Pallas forward (+ XLA-recompute backward).  Same semantics as
     `ops.wkv6.wkv6_ref`.
 
-    version=5 (default): two-pass formulation — parallel per-chunk kernel,
-    log-depth XLA cross-chunk combine — with native carried-state and
-    cheap final-state support.  Versions 1-4 are the round-1 single-pass
-    kernels kept for benchmarking (no state carry).
+    version=6: two-pass formulation with the lane-packed, issue-minimal
+    per-chunk kernel (`_kernel_v6`); version=5 (default) is the round-2
+    per-head two-pass kernel.  Both support carried state and cheap
+    final-state output.  Versions 1-4 are the round-1 single-pass kernels
+    kept for benchmarking (no state carry).
     """
-    if version == 5:
+    if version >= 5:
         return _wkv6_pallas_diff(r, k, v, w, u, state, chunk_size,
-                                 return_state)
+                                 return_state, version)
     if state is not None:
         from paper_accurate_fast_cheap_tpu.ops.wkv6 import wkv6_chunked
 
