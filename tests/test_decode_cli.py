@@ -266,3 +266,42 @@ def test_segment_scp_and_gigaspeech_meta(tmp_path):
     assert (od / "segments").read_text() == "POD1_S1\tPOD1\t0.0\t4.0\n"
     assert "POD1" in (od / "wav.scp").read_text()
     assert (od / "utt2subsets").read_text() == "POD1_S1\t{XL} {DEV}\n"
+
+
+def test_decode_rtf_cli(tmp_path):
+    """bin/decode_rtf.py: end-to-end decode benchmark (encoder + search)
+    at a tiny version of the paper's SF operating point, both modes."""
+    from paper_accurate_fast_cheap_tpu.bin.decode_rtf import main
+
+    cfg = {
+        "model": "transducer",
+        "encoder": "conformer",
+        "encoder_conf": {
+            "output_size": 32, "attention_heads": 2, "linear_units": 48,
+            "num_blocks": 1, "input_layer": "conv2d",
+            "selfattention_layer_type": "rwkv_tmix60_bidirectional",
+            "rwkv_head_size": 16,
+        },
+        "predictor": "rnn",
+        "predictor_conf": {"embed_size": 32, "hidden_size": 32,
+                           "output_size": 32, "num_layers": 1},
+        "joint_conf": {"join_dim": 32},
+        "model_conf": {"ctc_weight": 0.3, "transducer_weight": 0.7,
+                       "attention_weight": 0.0},
+        "vocab_size_for_bench": 40,
+        "dataset_conf": {"fbank_conf": {"num_mel_bins": 80}},
+    }
+    cfg_path = tmp_path / "tiny_trans.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    for mode in ("ctc_greedy_search", "rnnt_beam_search"):
+        out = tmp_path / f"{mode}.rtf"
+        rc = main([
+            "--config", str(cfg_path), "--mode", mode,
+            "--batch_size", "2", "--chunk_size", "120",
+            "--beam_size", "2", "--warmup", "1", "--iters", "2",
+            "--no-bf16", "--output", str(out),
+        ])
+        assert rc == 0
+        txt = out.read_text()
+        assert "final_rtf" in txt and f"decode_{mode}" in txt
