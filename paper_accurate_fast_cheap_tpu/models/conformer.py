@@ -106,6 +106,7 @@ def _make_attention(
             do_bfloat16=rwkv_conf.get("rwkv_do_bfloat16", True),
             wkv_impl=rwkv_conf.get("wkv_impl", "chunked"),
             wkv_chunk_size=rwkv_conf.get("wkv_chunk_size", 256),
+            wkv_version=rwkv_conf.get("wkv_version"),
             bidirectional_layers=rwkv_conf.get("bidirectional_layers"),
             alt_decoding=rwkv_conf.get("alt_decoding", False),
         )

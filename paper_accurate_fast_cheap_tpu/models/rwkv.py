@@ -68,6 +68,7 @@ class RWKVTimeMix(nn.Module):
     layer_id: int = 0
     wkv_impl: str = "chunked"
     wkv_chunk_size: int = 256
+    wkv_version: Optional[int] = None   # pallas kernel version override
 
     @nn.compact
     def __call__(self, x, state=None, return_state: bool = False):
@@ -133,6 +134,7 @@ class RWKVTimeMix(nn.Module):
             r.reshape(shp), k.reshape(shp), v.reshape(shp), w.reshape(shp),
             u.astype(dt), state=wkv_state,
             chunk_size=self.wkv_chunk_size, impl=self.wkv_impl,
+            pallas_version=self.wkv_version,
             return_state=return_state,
         )
         if return_state:
@@ -181,6 +183,7 @@ class RWKVAttention(nn.Module):
     do_bfloat16: bool = True
     wkv_impl: str = "chunked"
     wkv_chunk_size: int = 256
+    wkv_version: Optional[int] = None
     drop_prob: float = 0.2           # P(drop R2L) for dirdrop
     keep_both_prob: float = 0.8      # P(keep both) for dirdrop_both
     bidirectional_layers: Optional[tuple] = None  # eval override (layer ids)
@@ -198,7 +201,8 @@ class RWKVAttention(nn.Module):
             head_size=self.head_size, n_layers=self.n_layers,
             n_embd=self.dim_att, dim_att=self.dim_att,
             layer_id=self.layer_id, wkv_impl=self.wkv_impl,
-            wkv_chunk_size=self.wkv_chunk_size, name="tmix",
+            wkv_chunk_size=self.wkv_chunk_size,
+            wkv_version=self.wkv_version, name="tmix",
         )
 
         if self.direction == "uni":
@@ -216,7 +220,8 @@ class RWKVAttention(nn.Module):
             head_size=self.head_size, n_layers=self.n_layers,
             n_embd=self.dim_att, dim_att=self.dim_att,
             layer_id=self.layer_id, wkv_impl=self.wkv_impl,
-            wkv_chunk_size=self.wkv_chunk_size, name="tmix_rev",
+            wkv_chunk_size=self.wkv_chunk_size,
+            wkv_version=self.wkv_version, name="tmix_rev",
         )
 
         def fwd():

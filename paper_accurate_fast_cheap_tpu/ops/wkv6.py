@@ -242,16 +242,20 @@ def wkv6(
     chunk_size: int = 256,
     return_state: bool = False,
     impl: str = "chunked",
+    pallas_version: Optional[int] = None,
 ):
-    """Dispatching entry point. impl: 'chunked' (default) | 'ref' | 'pallas'."""
+    """Dispatching entry point. impl: 'chunked' (default) | 'ref' | 'pallas'.
+    pallas_version overrides the pallas kernel generation (None = its
+    default)."""
     if impl == "ref":
         return wkv6_ref(r, k, v, w, u, state=state, return_state=return_state)
     if impl == "pallas":
         from paper_accurate_fast_cheap_tpu.ops import wkv6_pallas
 
+        kw = {} if pallas_version is None else dict(version=pallas_version)
         return wkv6_pallas.wkv6_pallas(
             r, k, v, w, u, state=state, chunk_size=chunk_size,
-            return_state=return_state,
+            return_state=return_state, **kw,
         )
     if impl != "chunked":
         raise ValueError(f"unknown wkv6 impl: {impl!r}")

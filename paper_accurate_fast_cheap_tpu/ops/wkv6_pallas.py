@@ -630,6 +630,214 @@ def _wkv6_pallas_chunks_v6(r, k, v, w, u, chunk_size: int = 256):
     return y_loc, qg, kv, tot
 
 
+def _kernel_v7(r_ref, k_ref, v_ref, w_ref, u_ref, s0_ref,
+               y_ref, sout_ref, state_scr, *, L: int, N: int, G: int,
+               C: int):
+    """v7 (single-pass): carried-state chunk recurrence, minimal I/O.
+
+    A null-kernel ablation on the v5e showed the two-pass kernels are
+    I/O-bound, not compute-bound: this chip sustains ~130 GB/s effective
+    HBM bandwidth (plain XLA `x+1` measures the same), and v5/v6 move
+    ~2.5x the minimum data (f32 y_loc + qg + per-chunk KV summaries out,
+    then pass 2 re-reads them and re-writes y, plus pack/unpack
+    transposes).  v7 removes ALL of that: one kernel pass with the chunk
+    state carried in a VMEM scratch across sequential grid steps (the
+    c axis), emitting only y in the input dtype.  Inputs stay lane-packed
+    ((P, Tp, G*N), v6 layout) — when G == H the pack/unpack is a pure
+    reshape, so there are no XLA-side transposes at all.  I/O per call
+    drops from ~240 MB to ~100 MB.
+
+    Compute per head-chunk is v5's proven math (`_v5_head`): masked
+    recentred (L, L) intra dot, shift-add cumsums (shared packed across
+    heads), sub-block KV dots + Hillis-Steele combine, plus two carried
+    -state ops: y += qg @ S (rhs from scratch) and
+    S = exp(chunk_total).T * S + chunk_KV (the v4-proven column-vector
+    transpose).  Carried state in/out are first-class: s0 enters the
+    scratch at c == 0, the final state is written once at c == C-1.
+    """
+    c = pl.program_id(1)
+    f32 = jnp.float32
+    cd = jnp.bfloat16 if y_ref.dtype == jnp.bfloat16 else jnp.float32
+    GN = G * N
+    nb = L // SUB
+    NB = nb * N
+
+    @pl.when(c == 0)
+    def _():
+        state_scr[...] = s0_ref[0]
+
+    r = r_ref[0].astype(f32)          # (L, GN)
+    k = k_ref[0].astype(f32)
+    v = v_ref[0].astype(f32)
+    w = w_ref[0].astype(f32)
+    u = u_ref[0].astype(f32)          # (1, GN)
+
+    w = jnp.minimum(w, np.log(160.0 / (SUB + 2)))
+    lw = -jnp.exp(w)
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+
+    def shift_down(x, s):
+        return jnp.concatenate([jnp.zeros((s, x.shape[1]), f32), x[:-s]], 0)
+
+    def shift_up(x, s):
+        return jnp.concatenate([x[s:], jnp.zeros((s, x.shape[1]), f32)], 0)
+
+    Bi = lw
+    s = 1
+    while s < SUB:
+        Bi = Bi + jnp.where((rows1 % SUB) >= s, shift_down(Bi, s), 0.0)
+        s *= 2
+    sfx = lw
+    s = 1
+    while s < SUB:
+        sfx = sfx + jnp.where((rows1 % SUB) < SUB - s, shift_up(sfx, s), 0.0)
+        s *= 2
+    sfx = sfx - lw
+    F = lw
+    s = 1
+    while s < L:
+        F = F + jnp.where(rows1 >= s, shift_down(F, s), 0.0)
+        s *= 2
+    Be = Bi - lw
+    total = Bi + sfx
+    pfx = F - Bi
+
+    m = 0.5 * total
+    q_mid = (r * jnp.exp(Be - m)).astype(cd)
+    k_mid = (k * jnp.exp(m - Bi)).astype(cd)
+    q2 = r * jnp.exp(Be)
+    k_tail = (k * jnp.exp(sfx)).astype(cd)
+    qg = (r * jnp.exp(Be + pfx)).astype(cd)      # decay from chunk start
+    tot_chunk = F[L - 1 : L]                     # (1, GN) chunk log-decay
+    ruk = r * u * k
+    vc = v.astype(cd)
+
+    rowL = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    colL = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    intra = (rowL > colL) & ((rowL // SUB) == (colL // SUB))
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (NB, N), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NB, N), 1)
+    adiag_sel = lane == ridx % N
+
+    y_cols = []
+    for g in range(G):
+        sl = slice(g * N, (g + 1) * N)
+        # intra sub-block (v5 math)
+        A = jax.lax.dot_general(
+            q_mid[:, sl], k_mid[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        A = jnp.where(intra, A, 0.0).astype(cd)
+        diag = jnp.sum(ruk[:, sl], axis=-1, keepdims=True)
+        v_g = vc[:, sl]
+        y = jnp.dot(A, v_g, preferred_element_type=f32) \
+            + diag * v[:, sl]
+        # per-sub-block KV summaries + scan (v5 math)
+        kt_b = k_tail[:, sl].reshape(nb, SUB, N)
+        v_b = v_g.reshape(nb, SUB, N)
+        KVs = jax.lax.dot_general(
+            kt_b, v_b, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32).reshape(NB, N)
+        tot_blk = total[:, sl].reshape(nb, SUB, N)[:, SUB - 1]
+        tot_stk = jnp.broadcast_to(
+            tot_blk[:, None, :], (nb, N, N)).reshape(NB, N)
+        a = jnp.sum(jnp.where(adiag_sel, jnp.exp(tot_stk), 0.0),
+                    axis=1, keepdims=True)
+        b = KVs
+        off = 1
+        while off < nb:
+            sh = off * N
+            a_prev = jnp.concatenate(
+                [jnp.ones((sh, 1), f32), a[: NB - sh]], axis=0)
+            b_prev = jnp.concatenate(
+                [jnp.zeros((sh, N), f32), b[: NB - sh]], axis=0)
+            b = a * b_prev + b
+            a = a * a_prev
+            off *= 2
+        s_before = jnp.concatenate(
+            [jnp.zeros((N, N), f32), b[: NB - N]], axis=0)
+        q_b = (q2[:, sl].astype(cd)).reshape(nb, SUB, N)
+        s_b = s_before.astype(cd).reshape(nb, N, N)
+        y = y + jax.lax.dot_general(
+            q_b, s_b, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32).reshape(L, N)
+        # cross-chunk: carried state from scratch (natural orientation)
+        S_g = state_scr[g * N : (g + 1) * N, :]          # (N_key, N_val)
+        y = y + jax.lax.dot_general(
+            qg[:, sl], S_g.astype(cd), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        # state update: per-KEY-row decay (column-vector transpose, v4)
+        e_col = jnp.exp(tot_chunk[:, sl]).T              # (N, 1)
+        state_scr[g * N : (g + 1) * N, :] = e_col * S_g + b[NB - N:]
+        y_cols.append(y)
+    y_ref[0] = jnp.concatenate(y_cols, axis=1).astype(y_ref.dtype)
+
+    @pl.when(c == C - 1)
+    def _():
+        sout_ref[0] = state_scr[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk_size", "return_state"))
+def _wkv6_pallas_v7(r, k, v, w, u, state=None, chunk_size: int = 256,
+                    return_state: bool = False):
+    """v7 single-pass wrapper (see `_kernel_v7`)."""
+    B, T, H, N = r.shape
+    out_dtype = r.dtype
+    L = int(chunk_size)
+    L = max(SUB, (L // SUB) * SUB)
+    pad = (-T) % L
+    if pad:
+        zpad = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        r, k, v = zpad(r), zpad(k), zpad(v)
+        w = jnp.pad(w, ((0, 0), (0, pad), (0, 0), (0, 0)),
+                    constant_values=-1e30)
+    Tp = T + pad
+    C = Tp // L
+    G = _pick_group(H)
+    P = B * (H // G)
+    GN = G * N
+
+    def pack(x):  # free reshape when G == H (size-1 transpose axis)
+        return x.reshape(B, Tp, H // G, G, N).transpose(
+            0, 2, 1, 3, 4).reshape(P, Tp, GN)
+
+    rb, kb, vb, wb = map(pack, (r, k, v, w))
+    ub = jnp.broadcast_to(
+        u.reshape(1, H // G, 1, GN), (B, H // G, 1, GN)).reshape(P, 1, GN)
+    if state is None:
+        s0 = jnp.zeros((P, GN, N), jnp.float32)
+    else:
+        s0 = state.astype(jnp.float32).reshape(P, GN, N)
+
+    spec = pl.BlockSpec((1, L, GN), lambda p, c: (p, c, 0))
+    y, sout = pl.pallas_call(
+        functools.partial(_kernel_v7, L=L, N=N, G=G, C=C),
+        out_shape=(
+            jax.ShapeDtypeStruct((P, Tp, GN), out_dtype),
+            jax.ShapeDtypeStruct((P, GN, N), jnp.float32),
+        ),
+        grid=(P, C),
+        in_specs=[spec, spec, spec, spec,
+                  pl.BlockSpec((1, 1, GN), lambda p, c: (p, 0, 0)),
+                  pl.BlockSpec((1, GN, N), lambda p, c: (p, 0, 0))],
+        out_specs=(
+            spec,
+            pl.BlockSpec((1, GN, N), lambda p, c: (p, 0, 0)),
+        ),
+        scratch_shapes=[pltpu.VMEM((GN, N), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(rb, kb, vb, wb, ub, s0)
+
+    y = y.reshape(B, H // G, Tp, G, N).transpose(
+        0, 2, 1, 3, 4).reshape(B, Tp, H, N)[:, :T].astype(out_dtype)
+    if return_state:
+        return y, sout.reshape(B, H, N, N)
+    return y
+
+
 def _kernel_v5(r_ref, k_ref, v_ref, w_ref, u_ref,
                y_ref, qg_ref, kv_ref, *, L: int, N: int, G: int):
     """v5 (two-pass, pass 1): per-chunk kernel with NO serial state chain.
@@ -861,20 +1069,27 @@ def _wkv6_pallas_fwd(r, k, v, w, u, state=None, chunk_size: int = 256,
     return y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
-def _wkv6_pallas_diff(r, k, v, w, u, state, chunk_size, return_state,
-                      version=6):
+def _fwd_dispatch(r, k, v, w, u, state, chunk_size, return_state, version):
+    if version >= 7:
+        return _wkv6_pallas_v7(r, k, v, w, u, state=state,
+                               chunk_size=chunk_size,
+                               return_state=return_state)
     return _wkv6_pallas_two_pass(r, k, v, w, u, state=state,
                                  chunk_size=chunk_size,
                                  return_state=return_state,
                                  version=version)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _wkv6_pallas_diff(r, k, v, w, u, state, chunk_size, return_state,
+                      version=6):
+    return _fwd_dispatch(r, k, v, w, u, state, chunk_size, return_state,
+                         version)
+
+
 def _diff_fwd(r, k, v, w, u, state, chunk_size, return_state, version=6):
-    out = _wkv6_pallas_two_pass(r, k, v, w, u, state=state,
-                                chunk_size=chunk_size,
-                                return_state=return_state,
-                                version=version)
+    out = _fwd_dispatch(r, k, v, w, u, state, chunk_size, return_state,
+                        version)
     return out, (r, k, v, w, u, state)
 
 

@@ -7,8 +7,9 @@ import pytest
 from paper_accurate_fast_cheap_tpu.ops.wkv6 import wkv6_ref
 from paper_accurate_fast_cheap_tpu.ops.wkv6_pallas import wkv6_pallas
 
-# 5 = per-head two-pass kernel, 6 = lane-packed issue-minimal kernel
-VERSIONS = [5, 6]
+# 5 = per-head two-pass kernel, 6 = lane-packed issue-minimal kernel,
+# 7 = single-pass carried-state kernel (minimal I/O)
+VERSIONS = [5, 6, 7]
 
 
 def _inputs(key, B=2, T=40, H=2, N=64, dtype=jnp.float32):
