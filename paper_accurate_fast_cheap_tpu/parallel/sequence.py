@@ -1,0 +1,135 @@
+"""Sequence parallelism for the WKV6 linear recurrence.
+
+The reference's answer to sequence length is single-GPU architectural
+O(T) (SURVEY.md §5: "no ring attention, no Ulysses, no context/sequence
+parallelism — a single GPU holds the whole sequence").  On TPU the same
+recurrence shards cleanly over the ICI mesh: the WKV state recurrence
+
+    S_t = diag(d_t) S_{t-1} + k_t v_t^T        (d_t = per-channel decay)
+
+is associative in (decay-product, state) pairs, so a T-shard of the
+sequence is summarized by the pair
+
+    A_i = prod of its per-step decays   (B, H, N)
+    B_i = its final state from a zero init  (B, H, N, N)
+
+and the true incoming state of shard i is the exclusive associative fold
+of the pairs of shards j < i — exactly the cross-chunk combine the
+single-chip two-pass kernel uses (`ops/wkv6_pallas.py` pass 2), lifted to
+the mesh level.  Only the (N, N) summaries cross the interconnect
+(an all-gather of n_shards * B * H * N * (N+1) floats — kilobytes), never
+the sequence itself.
+
+Algorithm (inside one `shard_map` over the sequence axis):
+  1. local pass: y0, B_i = wkv6(shard, state=0, return_state=True);
+     A_i = exp(sum of clamped log-decays) computed directly from w.
+  2. `all_gather` the (A, B) pairs; every device folds the same exclusive
+     prefix (n_shards is small and static) and takes its own entry S0_i.
+  3. replay pass: y_i = wkv6(shard, state=S0_i) — the local recurrence
+     re-run from the correct incoming state.  (2x local compute; with
+     n devices the wall-clock is still ~n/2 of the single-chip run, and
+     memory per device is T/n.)
+
+Exactness: the fold uses the same clamp as the chunked kernel
+(`160/(inner+2)`, `ops/wkv6.py:142`), so the sharded output equals the
+single-device `wkv6_chunked` bit-for-bit up to f32 summation order.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from paper_accurate_fast_cheap_tpu.ops import wkv6 as wkv6_ops
+
+
+def _shard_summary_decay(w: jax.Array, inner_size: int) -> jax.Array:
+    """Per-shard total decay A_i (B, H, N) with the chunked clamp."""
+    w_cl = jnp.minimum(w.astype(jnp.float32),
+                       float(np.log(160.0 / (inner_size + 2))))
+    return jnp.exp(-jnp.sum(jnp.exp(w_cl), axis=1))  # (B, H, N)
+
+
+def wkv6_sequence_parallel(
+    r: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    w: jax.Array,
+    u: jax.Array,
+    mesh: Mesh,
+    axis: str = "seq",
+    state: Optional[jax.Array] = None,
+    return_state: bool = False,
+    chunk_size: int = 256,
+    inner_size: int = 16,
+):
+    """WKV6 with the T axis sharded over ``mesh`` axis ``axis``.
+
+    Inputs are (B, T, H, N) with T divisible by the axis size; they may be
+    already device-put with a T-sharded NamedSharding (the shard_map will
+    keep them in place) or replicated (XLA reshards once).  ``state`` is a
+    replicated (B, H, N, N) carried-in state; ``return_state`` also
+    returns the (replicated) final state.
+    """
+    B, T, H, N = r.shape
+    n = mesh.shape[axis]
+    if T % n:
+        raise ValueError(f"T={T} not divisible by mesh axis {axis}={n}")
+    if state is None:
+        state = jnp.zeros((B, H, N, N), jnp.float32)
+
+    spec_t = P(None, axis)
+    spec_r = P()
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(spec_t, spec_t, spec_t, spec_t, spec_r, spec_r),
+        out_specs=(spec_t, spec_r) if return_state else spec_t,
+    )
+    def _run(rs, ks, vs, ws, us, S0_global):
+        # 1. local summary pass (zero incoming state).  The zero state
+        # must be marked varying over the seq axis (the scan carry takes
+        # its type from it while the inputs are per-shard).
+        zero = jax.lax.pcast(
+            jnp.zeros((B, H, N, N), jnp.float32), axis, to="varying")
+        _, B_loc = wkv6_ops.wkv6_chunked(
+            rs, ks, vs, ws, us, state=zero, chunk_size=chunk_size,
+            inner_size=inner_size, return_state=True)
+        A_loc = _shard_summary_decay(ws, inner_size)
+
+        # 2. gather pairs, fold the exclusive prefix (static small loop)
+        A_all = jax.lax.all_gather(A_loc, axis)          # (n, B, H, N)
+        B_all = jax.lax.all_gather(B_loc, axis)          # (n, B, H, N, N)
+        idx = jax.lax.axis_index(axis)
+        S_in = S0_global.astype(jnp.float32)
+        S_mine = S_in                      # covers idx == 0
+        for j in range(n):
+            # S after shard j = A_j (key-rows) * S_before + B_j
+            S_in = A_all[j][..., None] * S_in + B_all[j]
+            # the last j < idx to fire leaves S_mine = state after
+            # shard idx-1 == state BEFORE shard idx
+            S_mine = jnp.where(j < idx, S_in, S_mine)
+        # after the loop S_in = state after the last shard (global final)
+
+        # 3. replay from the true incoming state
+        out = wkv6_ops.wkv6_chunked(
+            rs, ks, vs, ws, us, state=S_mine, chunk_size=chunk_size,
+            inner_size=inner_size, return_state=False)
+        if return_state:
+            # every device computed the same fold; express the final
+            # state through a psum so its replication is provable
+            S_fin = jax.lax.psum(
+                jnp.where(idx == n - 1, S_in, 0.0), axis)
+            return out, S_fin
+        return out
+
+    return _run(r, k, v, w, u, state)
+
+
+def sequence_sharding(mesh: Mesh, axis: str = "seq") -> NamedSharding:
+    """Sharding for (B, T, ...) arrays with T over the sequence axis."""
+    return NamedSharding(mesh, P(None, axis))

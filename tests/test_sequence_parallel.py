@@ -1,0 +1,75 @@
+"""Sequence-parallel WKV6 over the 8-device virtual mesh == single-device.
+
+The reference has no sequence/context parallelism at all (SURVEY.md §5);
+this is the TPU-native extension: T sharded over a mesh axis, only the
+(N, N) state summaries crossing the interconnect
+(`parallel/sequence.py`).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paper_accurate_fast_cheap_tpu.ops.wkv6 import wkv6_chunked
+from paper_accurate_fast_cheap_tpu.parallel import mesh as mesh_lib
+from paper_accurate_fast_cheap_tpu.parallel.sequence import (
+    sequence_sharding,
+    wkv6_sequence_parallel,
+)
+
+
+def _inputs(key, B=2, T=256, H=2, N=32):
+    ks = jax.random.split(key, 6)
+    mk = lambda k: jax.random.normal(k, (B, T, H, N))
+    r, k, v = mk(ks[0]), mk(ks[1]) * 0.5, mk(ks[2])
+    w = mk(ks[3]) - 2.0
+    u = jax.random.normal(ks[4], (H, N)) * 0.1
+    S0 = jax.random.normal(ks[5], (B, H, N, N)) * 0.2
+    return r, k, v, w, u, S0
+
+
+@pytest.fixture(scope="module")
+def seq_mesh():
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    return mesh_lib.make_mesh(8, axis_names=("seq",))
+
+
+def test_sp_matches_single_device(seq_mesh):
+    r, k, v, w, u, _ = _inputs(jax.random.PRNGKey(0))
+    y_ref = wkv6_chunked(r, k, v, w, u, chunk_size=32)
+    y = wkv6_sequence_parallel(r, k, v, w, u, seq_mesh, chunk_size=32)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sp_carried_state_and_final_state(seq_mesh):
+    r, k, v, w, u, S0 = _inputs(jax.random.PRNGKey(1))
+    y_ref, S_ref = wkv6_chunked(r, k, v, w, u, state=S0, chunk_size=32,
+                                return_state=True)
+    y, S = wkv6_sequence_parallel(r, k, v, w, u, seq_mesh, state=S0,
+                                  chunk_size=32, return_state=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(S), np.asarray(S_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sp_with_presharded_inputs(seq_mesh):
+    """Inputs already T-sharded on device stay in place (no gather of the
+    sequence — only the state summaries move)."""
+    r, k, v, w, u, _ = _inputs(jax.random.PRNGKey(2), T=512)
+    sh = sequence_sharding(seq_mesh)
+    rs, ks_, vs, ws = (jax.device_put(x, sh) for x in (r, k, v, w))
+    y = wkv6_sequence_parallel(rs, ks_, vs, ws, u, seq_mesh, chunk_size=32)
+    y_ref = wkv6_chunked(r, k, v, w, u, chunk_size=32)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+    # output is T-sharded
+    assert y.sharding.spec == sh.spec
+
+
+def test_sp_ragged_shard_rejected(seq_mesh):
+    r, k, v, w, u, _ = _inputs(jax.random.PRNGKey(3), T=100)
+    with pytest.raises(ValueError):
+        wkv6_sequence_parallel(r, k, v, w, u, seq_mesh)
