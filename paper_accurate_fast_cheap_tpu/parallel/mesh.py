@@ -102,3 +102,31 @@ def tp_shardings(mesh: Mesh, params):
         )
 
     return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def ep_param_spec(path_str: str, shape) -> P:
+    """Expert-parallel PartitionSpec: MoE expert-stacked kernels
+    (``w1``/``w2`` of `models.convolution.MoEFFNLayer`, shape
+    (n_experts, ...)) shard their expert axis over 'model'; everything
+    else is replicated.  The dense one-hot dispatch makes the combine a
+    contraction over the expert axis, so XLA closes each token's output
+    with one all-reduce over ICI — token-choice routing without any
+    gather/scatter (the reference's MoE, `positionwise_feed_forward.py:
+    58-115`, is single-device only)."""
+    if len(shape) == 3 and (path_str.endswith("['w1']")
+                            or path_str.endswith("['w2']")
+                            or path_str.endswith("/w1")
+                            or path_str.endswith("/w2")):
+        return P("model", None, None)
+    return P()
+
+
+def shard_params_ep(mesh: Mesh, params):
+    """Place a param tree with the ep_param_spec rules."""
+
+    def place(path, x):
+        name = jax.tree_util.keystr(path)
+        spec = ep_param_spec(name, getattr(x, "shape", ()))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)

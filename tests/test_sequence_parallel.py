@@ -73,3 +73,32 @@ def test_sp_ragged_shard_rejected(seq_mesh):
     r, k, v, w, u, _ = _inputs(jax.random.PRNGKey(3), T=100)
     with pytest.raises(ValueError):
         wkv6_sequence_parallel(r, k, v, w, u, seq_mesh)
+
+
+def test_expert_parallel_moe_matches_replicated():
+    """MoE FFN with its expert axis sharded over the mesh ('model') ==
+    the replicated run (parallel/mesh.ep_param_spec)."""
+    import flax.linen as nn
+
+    from paper_accurate_fast_cheap_tpu.models.convolution import MoEFFNLayer
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = mesh_lib.make_dp_tp_mesh(8, tp=8)  # 1 x 8 (data, model)
+    moe = MoEFFNLayer(d_model=32, hidden=64, n_experts=8,
+                      n_expert_per_token=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32))
+    params = moe.init(jax.random.PRNGKey(1), x)
+    y_ref = moe.apply(params, x)
+
+    p_ep = mesh_lib.shard_params_ep(mesh, params)
+    x_ep = jax.device_put(
+        x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    y_ep = jax.jit(moe.apply)(p_ep, x_ep)
+    np.testing.assert_allclose(np.asarray(y_ep), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    # the expert kernels really are sharded
+    flat = jax.tree_util.tree_flatten_with_path(p_ep)[0]
+    specs = {jax.tree_util.keystr(p): v.sharding.spec for p, v in flat}
+    assert any(s == jax.sharding.PartitionSpec("model", None, None)
+               for s in specs.values()), specs
