@@ -102,3 +102,38 @@ def test_expert_parallel_moe_matches_replicated():
     specs = {jax.tree_util.keystr(p): v.sharding.spec for p, v in flat}
     assert any(s == jax.sharding.PartitionSpec("model", None, None)
                for s in specs.values()), specs
+
+
+def test_pipeline_parallel_matches_sequential():
+    """GPipe-style pipeline over 8 stages == sequential layer stack
+    (parallel/pipeline.py)."""
+    import flax.linen as nn
+
+    from paper_accurate_fast_cheap_tpu.parallel.pipeline import (
+        pipeline_apply,
+        stack_stage_params,
+    )
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = mesh_lib.make_mesh(8, axis_names=("stage",))
+
+    class Block(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.Dense(24)(x)
+            return x + nn.Dense(x.shape[-1])(nn.relu(h))
+
+    block = Block()
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 6, 12))
+    plist = [block.init(jax.random.PRNGKey(i), x) for i in range(8)]
+
+    y_ref = x
+    for p in plist:
+        y_ref = block.apply(p, y_ref)
+
+    stacked = stack_stage_params(plist)
+    y = pipeline_apply(lambda p, a: block.apply(p, a), stacked, x, mesh,
+                       axis="stage", n_microbatches=4)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
