@@ -144,3 +144,38 @@ def test_forced_snapshot_flag(tmp_path):
     (tmp_path / "force_full_snapshot").touch()
     assert checkpointing.check_forced_full_snapshot_flag(str(tmp_path))
     assert not (tmp_path / "force_full_snapshot").exists()
+
+
+def test_train_bench_cli(tmp_path):
+    """bin/train_bench.py: jitted train-step throughput on a tiny model."""
+    import yaml as _yaml
+
+    from paper_accurate_fast_cheap_tpu.bin.train_bench import main
+
+    cfg = {
+        "model": "transducer",
+        "encoder": "conformer",
+        "encoder_conf": {
+            "output_size": 32, "attention_heads": 2, "linear_units": 48,
+            "num_blocks": 1, "input_layer": "conv2d",
+            "selfattention_layer_type": "rwkv_tmix60_bidirectional",
+            "rwkv_head_size": 16,
+        },
+        "predictor": "rnn",
+        "predictor_conf": {"embed_size": 32, "hidden_size": 32,
+                           "output_size": 32, "num_layers": 1},
+        "joint_conf": {"join_dim": 32},
+        "model_conf": {"ctc_weight": 0.3, "transducer_weight": 0.7,
+                       "attention_weight": 0.0},
+        "vocab_size_for_bench": 40,
+        "accum_grad": 2,
+    }
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(_yaml.safe_dump(cfg))
+    out = tmp_path / "train.bench"
+    rc = main(["--config", str(cfg_path), "--batch_size", "2",
+               "--frames", "120", "--label_len", "6",
+               "--warmup", "1", "--iters", "2", "--output", str(out)])
+    assert rc == 0
+    txt = out.read_text()
+    assert "steps_per_sec" in txt and "audio_hours_per_compute_hour" in txt
