@@ -178,6 +178,118 @@ def gigaspeech_meta(args):
     return 0
 
 
+def validate(args):
+    """Data-dir / raw-list sanity validation (the reference's
+    `tools/validate_data_dir.sh` / `validate_text.pl` role).
+
+    Kaldi-dir mode (--dir): wav.scp/text[/segments] key consistency,
+    duplicate keys, empty transcripts, missing/unreadable audio.
+    Raw-list mode (--data): per-line JSON with key/wav/txt, same checks.
+    Exit 1 on any error; prints a summary either way.
+    """
+    import os
+
+    errors, warns = [], []
+
+    def check_audio(path, key):
+        if not os.path.exists(path):
+            errors.append(f"{key}: missing audio {path}")
+            return
+        try:
+            with open(path, "rb") as f:
+                head = f.read(4)
+            if head not in (b"RIFF", b"fLaC"):
+                warns.append(f"{key}: unknown audio magic {head!r} ({path})")
+        except OSError as e:
+            errors.append(f"{key}: unreadable audio {path}: {e}")
+
+    n = 0
+    if args.dir:
+        def read_kv(name, required=True):
+            path = os.path.join(args.dir, name)
+            if not os.path.exists(path):
+                if required:
+                    errors.append(f"missing {name}")
+                return {}
+            out = {}
+            for i, line in enumerate(open(path, encoding="utf-8")):
+                parts = line.rstrip("\n").split(None, 1)
+                if not parts:
+                    continue
+                k = parts[0]
+                v = parts[1] if len(parts) > 1 else ""
+                if k in out:
+                    errors.append(f"{name}:{i + 1}: duplicate key {k}")
+                out[k] = v
+            return out
+
+        wav = read_kv("wav.scp")
+        text = read_kv("text")
+        segs = read_kv("segments", required=False)
+        n = len(text)
+        utt_audio = {}
+        if segs:
+            for sid, v in segs.items():
+                f = v.split()
+                if len(f) != 3:
+                    errors.append(f"segments: bad line for {sid}")
+                    continue
+                aid, st, en = f[0], float(f[1]), float(f[2])
+                if aid not in wav:
+                    errors.append(f"segments: {sid} references missing "
+                                  f"recording {aid}")
+                if en <= st:
+                    errors.append(f"segments: {sid} non-positive duration")
+                utt_audio[sid] = wav.get(aid)
+        else:
+            utt_audio = dict(wav)
+        for k, t in text.items():
+            if not t.strip():
+                warns.append(f"text: empty transcript for {k}")
+            if k not in utt_audio:
+                errors.append(f"text: {k} has no audio entry")
+        for k in utt_audio:
+            if k not in text:
+                warns.append(f"audio: {k} has no transcript")
+        if args.check_audio:
+            for k, path in utt_audio.items():
+                if path and " " not in path:
+                    check_audio(path, k)
+    elif args.data:
+        seen = set()
+        for i, line in enumerate(open(args.data, encoding="utf-8")):
+            line = line.strip()
+            if not line:
+                continue
+            n += 1
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError as e:
+                errors.append(f"line {i + 1}: bad json: {e}")
+                continue
+            for field in ("key", "wav", "txt"):
+                if field not in obj:
+                    errors.append(f"line {i + 1}: missing '{field}'")
+            k = obj.get("key")
+            if k in seen:
+                errors.append(f"line {i + 1}: duplicate key {k}")
+            seen.add(k)
+            if not str(obj.get("txt", "")).strip():
+                warns.append(f"{k}: empty transcript")
+            if args.check_audio and obj.get("wav"):
+                check_audio(obj["wav"], k)
+    else:
+        raise SystemExit("validate: pass --dir or --data")
+
+    for w in warns[:20]:
+        print(f"WARNING: {w}")
+    for e in errors[:50]:
+        print(f"ERROR: {e}")
+    print(f"validate: {n} utterances, {len(errors)} errors, "
+          f"{len(warns)} warnings")
+    return 1 if errors else 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="data utilities")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -204,11 +316,18 @@ def main(argv=None):
     m = sub.add_parser("gigaspeech_meta")
     m.add_argument("--input_json", required=True)
     m.add_argument("--output_dir", required=True)
+    v = sub.add_parser("validate")
+    v.add_argument("--dir", default=None,
+                   help="kaldi-style data dir (wav.scp/text[/segments])")
+    v.add_argument("--data", default=None, help="raw jsonl list")
+    v.add_argument("--check_audio", action="store_true",
+                   help="also stat + sniff every audio file")
     args = p.parse_args(argv)
     return {"make_raw_list": make_raw_list, "wav2dur": wav2dur,
             "analyze": analyze, "segments_to_files": segments_to_files,
             "segment_scp": segment_scp,
-            "gigaspeech_meta": gigaspeech_meta}[args.cmd](args)
+            "gigaspeech_meta": gigaspeech_meta,
+            "validate": validate}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -37,6 +37,17 @@ def get_args(argv=None):
     p.add_argument("--seed", type=int, default=777)
     p.add_argument("--multichip", action="store_true",
                    help="shard batches over all local devices")
+    # multi-HOST launch (the torchrun/ssh_launcher equivalent,
+    # `run-pipeline-v3.sh:129-150`, `tools/ssh_launcher.py`): run one
+    # process per host with the same coordinator address; on a TPU pod
+    # slice `--dist_auto` needs no other flags (jax reads the metadata)
+    p.add_argument("--dist_auto", action="store_true",
+                   help="jax.distributed.initialize() with pod autodetect")
+    p.add_argument("--dist_coordinator", default=None,
+                   help="coordinator host:port (every process passes the "
+                        "same value)")
+    p.add_argument("--dist_num_processes", type=int, default=None)
+    p.add_argument("--dist_process_id", type=int, default=None)
     p.add_argument("--print_model", action="store_true")
     # wandb system-of-record (`train_utils.py:506-544`, `checkpoint.py:
     # 266-291`); all gated on wandb importability
@@ -54,6 +65,22 @@ def main(argv=None):
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(message)s",
     )
+    if args.dist_auto or args.dist_coordinator:
+        # must run before any other jax use in this process
+        import jax as _jax
+
+        if args.dist_auto:
+            _jax.distributed.initialize()
+        else:
+            _jax.distributed.initialize(
+                coordinator_address=args.dist_coordinator,
+                num_processes=args.dist_num_processes,
+                process_id=args.dist_process_id,
+            )
+        logging.info(
+            "jax.distributed: process %d/%d, %d global devices",
+            _jax.process_index(), _jax.process_count(),
+            _jax.device_count())
 
     from paper_accurate_fast_cheap_tpu.data import pipeline as data_pipeline
     from paper_accurate_fast_cheap_tpu.frontend import cmvn as cmvn_lib

@@ -305,3 +305,34 @@ def test_decode_rtf_cli(tmp_path):
         assert rc == 0
         txt = out.read_text()
         assert "final_rtf" in txt and f"decode_{mode}" in txt
+
+
+def test_data_tools_validate(tmp_path):
+    """data_tools validate: kaldi-dir and raw-list sanity checks
+    (reference `tools/validate_data_dir.sh` role)."""
+    from paper_accurate_fast_cheap_tpu.bin.data_tools import main as dt
+
+    rng = np.random.RandomState(0)
+    wav = tmp_path / "a.wav"
+    wav.write_bytes(_wav_bytes(rng.randn(1600) * 0.05))
+
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "wav.scp").write_text(f"utt1 {wav}\nutt2 {tmp_path}/missing.wav\n")
+    (d / "text").write_text("utt1 hello\nutt2 world\n")
+    rc = dt(["validate", "--dir", str(d), "--check_audio"])
+    assert rc == 1  # missing.wav
+
+    (d / "wav.scp").write_text(f"utt1 {wav}\nutt2 {wav}\n")
+    rc = dt(["validate", "--dir", str(d), "--check_audio"])
+    assert rc == 0
+
+    raw = tmp_path / "raw.jsonl"
+    import json as _json
+    raw.write_text("\n".join([
+        _json.dumps({"key": "u1", "wav": str(wav), "txt": "hi"}),
+        _json.dumps({"key": "u1", "wav": str(wav), "txt": "dup key"}),
+    ]))
+    assert dt(["validate", "--data", str(raw)]) == 1
+    raw.write_text(_json.dumps({"key": "u1", "wav": str(wav), "txt": "hi"}))
+    assert dt(["validate", "--data", str(raw)]) == 0
