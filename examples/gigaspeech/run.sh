@@ -15,6 +15,7 @@ PKG=paper_accurate_fast_cheap_tpu
 if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
   echo "stage 0: data prep — expects ${data}/{train,dev,test}/wav.scp+text"
   for set in train dev test; do
+    python -m ${PKG}.bin.data_tools validate --dir ${data}/${set}
     python -m ${PKG}.bin.make_shard \
       --wav_scp ${data}/${set}/wav.scp --text ${data}/${set}/text \
       --output_dir ${data}/${set}/shards --num_utts_per_shard 1000 \
@@ -86,4 +87,14 @@ PY
     python -m ${PKG}.bin.compute_wer --giga --longform \
       ${out}/ref.trn ${out}/hyp.trn | tee ${out}/summary.txt
   done
+fi
+
+if [ ${stage} -le 6 ] && [ ${stop_stage} -ge 6 ]; then
+  echo "stage 6: benchmarks (encoder RTF sweep, decode RTF, train step)"
+  python local/run_rtf_sweep.py --out_dir ${exp}/rtf_sweep --runs 2
+  python -m ${PKG}.bin.decode_rtf --config ${config} \
+    --mode rnnt_beam_search --batch_size 64 --chunk_size 3000 \
+    --beam_size 8 --output ${exp}/decode_b64.rtf
+  python -m ${PKG}.bin.train_bench --config ${config} \
+    --batch_size 16 --frames 1500 --output ${exp}/train_step.bench
 fi
