@@ -336,3 +336,35 @@ def test_data_tools_validate(tmp_path):
     assert dt(["validate", "--data", str(raw)]) == 1
     raw.write_text(_json.dumps({"key": "u1", "wav": str(wav), "txt": "hi"}))
     assert dt(["validate", "--data", str(raw)]) == 0
+
+
+def test_align_cli(trained, tmp_path):
+    """bin/align.py: CTC forced alignment -> token CTM (the reference's
+    tools/alignment.sh capability; its alignment.py binary is absent
+    from the release)."""
+    import json as _json
+
+    from paper_accurate_fast_cheap_tpu.bin.align import main
+
+    workspace, model_dir = trained
+    rng = np.random.RandomState(5)
+    wav = tmp_path / "a.wav"
+    wav.write_bytes(_wav_bytes(rng.randn(16000) * 0.05))
+    raw = tmp_path / "raw.jsonl"
+    raw.write_text(_json.dumps(
+        {"key": "utt1", "wav": str(wav), "txt": "hello world"}) + "\n")
+    out = tmp_path / "ali.ctm"
+    frames = tmp_path / "ali.frames"
+    rc = main([
+        "--config", str(model_dir / "train.yaml"),
+        "--checkpoint", str(model_dir / "epoch_0000"),
+        "--input_data", str(raw), "--output", str(out),
+        "--frames_path", str(frames),
+    ])
+    assert rc == 0
+    lines = out.read_text().strip().split("\n")
+    assert lines and all(len(l.split()) == 5 for l in lines)
+    # CTM: key channel start dur token; times monotonic non-negative
+    starts = [float(l.split()[2]) for l in lines]
+    assert starts == sorted(starts) and starts[0] >= 0.0
+    assert frames.read_text().startswith("utt1 ")
