@@ -69,6 +69,10 @@ class RWKVTimeMix(nn.Module):
     wkv_impl: str = "chunked"
     wkv_chunk_size: int = 256
     wkv_version: Optional[int] = None   # pallas kernel version override
+    # when set, __call__ runs INSIDE a shard_map with T sharded over this
+    # mesh axis: token-shift uses a 1-frame halo exchange and the WKV
+    # recurrence uses the sequence-parallel collective body
+    spmd_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, state=None, return_state: bool = False):
@@ -104,6 +108,13 @@ class RWKVTimeMix(nn.Module):
         if state is not None:
             lead = state[0].astype(dt)
             wkv_state = state[1]
+        elif self.spmd_axis:
+            from paper_accurate_fast_cheap_tpu.parallel.sequence import (
+                halo_exchange,
+            )
+
+            lead = halo_exchange(x, self.spmd_axis, 1, 0)[:, :1]
+            wkv_state = None
         else:
             lead = jnp.zeros((B, 1, C), dt)
             wkv_state = None
@@ -130,13 +141,25 @@ class RWKVTimeMix(nn.Module):
 
         hs = self.head_size
         shp = (B, T, n_head, hs)
-        wkv_out = wkv6_ops.wkv6(
-            r.reshape(shp), k.reshape(shp), v.reshape(shp), w.reshape(shp),
-            u.astype(dt), state=wkv_state,
-            chunk_size=self.wkv_chunk_size, impl=self.wkv_impl,
-            pallas_version=self.wkv_version,
-            return_state=return_state,
-        )
+        if self.spmd_axis:
+            from paper_accurate_fast_cheap_tpu.parallel.sequence import (
+                wkv6_sp_body,
+            )
+
+            wkv_out = wkv6_sp_body(
+                r.reshape(shp), k.reshape(shp), v.reshape(shp),
+                w.reshape(shp), u.astype(dt), self.spmd_axis,
+                state=wkv_state, chunk_size=self.wkv_chunk_size,
+                return_state=return_state,
+            )
+        else:
+            wkv_out = wkv6_ops.wkv6(
+                r.reshape(shp), k.reshape(shp), v.reshape(shp),
+                w.reshape(shp), u.astype(dt), state=wkv_state,
+                chunk_size=self.wkv_chunk_size, impl=self.wkv_impl,
+                pallas_version=self.wkv_version,
+                return_state=return_state,
+            )
         if return_state:
             y, new_wkv = wkv_out
         else:
@@ -184,6 +207,7 @@ class RWKVAttention(nn.Module):
     wkv_impl: str = "chunked"
     wkv_chunk_size: int = 256
     wkv_version: Optional[int] = None
+    spmd_axis: Optional[str] = None   # T-sharded (sequence-parallel) mode
     drop_prob: float = 0.2           # P(drop R2L) for dirdrop
     keep_both_prob: float = 0.8      # P(keep both) for dirdrop_both
     bidirectional_layers: Optional[tuple] = None  # eval override (layer ids)
@@ -202,7 +226,8 @@ class RWKVAttention(nn.Module):
             n_embd=self.dim_att, dim_att=self.dim_att,
             layer_id=self.layer_id, wkv_impl=self.wkv_impl,
             wkv_chunk_size=self.wkv_chunk_size,
-            wkv_version=self.wkv_version, name="tmix",
+            wkv_version=self.wkv_version, spmd_axis=self.spmd_axis,
+            name="tmix",
         )
 
         if self.direction == "uni":
@@ -221,13 +246,29 @@ class RWKVAttention(nn.Module):
             n_embd=self.dim_att, dim_att=self.dim_att,
             layer_id=self.layer_id, wkv_impl=self.wkv_impl,
             wkv_chunk_size=self.wkv_chunk_size,
-            wkv_version=self.wkv_version, name="tmix_rev",
+            wkv_version=self.wkv_version, spmd_axis=self.spmd_axis,
+            name="tmix_rev",
         )
 
         def fwd():
             return tmix(x)
 
         def bwd():
+            if self.spmd_axis:
+                # T-sharded mode: distributed time-reverse (shard-order
+                # ppermute + local flip); padded batches are not
+                # supported under sequence parallelism
+                if lengths is not None:
+                    raise ValueError(
+                        "spmd_axis (sequence parallelism) requires "
+                        "full-length sequences (lengths=None)")
+                from paper_accurate_fast_cheap_tpu.parallel.sequence import (
+                    flip_sharded,
+                )
+
+                return flip_sharded(
+                    tmix_rev(flip_sharded(x, self.spmd_axis)),
+                    self.spmd_axis)
             xr = flip_padded(x, lengths)
             return flip_padded(tmix_rev(xr), lengths)
 

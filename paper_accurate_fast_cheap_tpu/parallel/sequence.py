@@ -91,45 +91,100 @@ def wkv6_sequence_parallel(
         out_specs=(spec_t, spec_r) if return_state else spec_t,
     )
     def _run(rs, ks, vs, ws, us, S0_global):
-        # 1. local summary pass (zero incoming state).  The zero state
-        # must be marked varying over the seq axis (the scan carry takes
-        # its type from it while the inputs are per-shard).
-        zero = jax.lax.pcast(
-            jnp.zeros((B, H, N, N), jnp.float32), axis, to="varying")
-        _, B_loc = wkv6_ops.wkv6_chunked(
-            rs, ks, vs, ws, us, state=zero, chunk_size=chunk_size,
-            inner_size=inner_size, return_state=True)
-        A_loc = _shard_summary_decay(ws, inner_size)
-
-        # 2. gather pairs, fold the exclusive prefix (static small loop)
-        A_all = jax.lax.all_gather(A_loc, axis)          # (n, B, H, N)
-        B_all = jax.lax.all_gather(B_loc, axis)          # (n, B, H, N, N)
-        idx = jax.lax.axis_index(axis)
-        S_in = S0_global.astype(jnp.float32)
-        S_mine = S_in                      # covers idx == 0
-        for j in range(n):
-            # S after shard j = A_j (key-rows) * S_before + B_j
-            S_in = A_all[j][..., None] * S_in + B_all[j]
-            # the last j < idx to fire leaves S_mine = state after
-            # shard idx-1 == state BEFORE shard idx
-            S_mine = jnp.where(j < idx, S_in, S_mine)
-        # after the loop S_in = state after the last shard (global final)
-
-        # 3. replay from the true incoming state
-        out = wkv6_ops.wkv6_chunked(
-            rs, ks, vs, ws, us, state=S_mine, chunk_size=chunk_size,
-            inner_size=inner_size, return_state=False)
-        if return_state:
-            # every device computed the same fold; express the final
-            # state through a psum so its replication is provable
-            S_fin = jax.lax.psum(
-                jnp.where(idx == n - 1, S_in, 0.0), axis)
-            return out, S_fin
-        return out
+        return wkv6_sp_body(rs, ks, vs, ws, us, axis, state=S0_global,
+                            chunk_size=chunk_size, inner_size=inner_size,
+                            return_state=return_state)
 
     return _run(r, k, v, w, u, state)
+
+
+def wkv6_sp_body(rs, ks, vs, ws, us, axis: str, state=None,
+                 chunk_size: int = 256, inner_size: int = 16,
+                 return_state: bool = False):
+    """The sequence-parallel WKV6 collective body, for use INSIDE an
+    enclosing `shard_map` over ``axis`` (e.g. a T-sharded encoder layer);
+    `wkv6_sequence_parallel` is the standalone wrapper.  All arguments
+    are this device's T-shard except ``us``/``state`` (replicated)."""
+    n = jax.lax.axis_size(axis)
+    Bs, _, H, N = rs.shape
+    if state is None:
+        state = jnp.zeros((Bs, H, N, N), jnp.float32)
+    # 1. local summary pass (zero incoming state).  The zero state must
+    # be marked varying over the seq axis (the scan carry takes its type
+    # from it while the inputs are per-shard).
+    zero = jax.lax.pcast(
+        jnp.zeros((Bs, H, N, N), jnp.float32), axis, to="varying")
+    _, B_loc = wkv6_ops.wkv6_chunked(
+        rs, ks, vs, ws, us, state=zero, chunk_size=chunk_size,
+        inner_size=inner_size, return_state=True)
+    A_loc = _shard_summary_decay(ws, inner_size)
+
+    # 2. gather pairs, fold the exclusive prefix (static small loop)
+    A_all = jax.lax.all_gather(A_loc, axis)          # (n, B, H, N)
+    B_all = jax.lax.all_gather(B_loc, axis)          # (n, B, H, N, N)
+    idx = jax.lax.axis_index(axis)
+    S_in = state.astype(jnp.float32)
+    S_mine = S_in                      # covers idx == 0
+    for j in range(n):
+        # S after shard j = A_j (key-rows) * S_before + B_j
+        S_in = A_all[j][..., None] * S_in + B_all[j]
+        # the last j < idx to fire leaves S_mine = state after
+        # shard idx-1 == state BEFORE shard idx
+        S_mine = jnp.where(j < idx, S_in, S_mine)
+    # after the loop S_in = state after the last shard (global final)
+
+    # 3. replay from the true incoming state
+    out = wkv6_ops.wkv6_chunked(
+        rs, ks, vs, ws, us, state=S_mine, chunk_size=chunk_size,
+        inner_size=inner_size, return_state=False)
+    if return_state:
+        # every device computed the same fold; express the final state
+        # through a psum so its replication is provable
+        S_fin = jax.lax.psum(jnp.where(idx == n - 1, S_in, 0.0), axis)
+        return out, S_fin
+    return out
 
 
 def sequence_sharding(mesh: Mesh, axis: str = "seq") -> NamedSharding:
     """Sharding for (B, T, ...) arrays with T over the sequence axis."""
     return NamedSharding(mesh, P(None, axis))
+
+
+def halo_exchange(x: jax.Array, axis: str, left: int, right: int,
+                  time_axis: int = 1):
+    """Exchange boundary frames with sequence-axis neighbours.
+
+    Inside `shard_map` over ``axis``: returns x extended with ``left``
+    frames from the previous shard and ``right`` frames from the next
+    (zeros at the sequence ends) — the building block for T-sharded
+    convolutions (depthwise kernel 31 needs a 15-frame halo each side)
+    and token-shift (1-frame left halo).
+    """
+    n = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    parts = []
+    if left:
+        tail = jax.lax.slice_in_dim(x, x.shape[time_axis] - left, None,
+                                    axis=time_axis)
+        prev = jax.lax.ppermute(tail, axis,
+                                [(i, (i + 1) % n) for i in range(n)])
+        prev = jnp.where(idx == 0, 0.0, prev)
+        parts.append(prev)
+    parts.append(x)
+    if right:
+        head = jax.lax.slice_in_dim(x, 0, right, axis=time_axis)
+        nxt = jax.lax.ppermute(head, axis,
+                               [(i, (i - 1) % n) for i in range(n)])
+        nxt = jnp.where(idx == n - 1, 0.0, nxt)
+        parts.append(nxt)
+    return jnp.concatenate(parts, axis=time_axis)
+
+
+def flip_sharded(x: jax.Array, axis: str, time_axis: int = 1):
+    """Time-reverse a T-sharded array: reverse the shard order with one
+    ppermute (i -> n-1-i) and flip locally — the distributed equivalent
+    of `jnp.flip(x, time_axis)`, needed by the bidirectional RWKV branch
+    under sequence parallelism."""
+    n = jax.lax.axis_size(axis)
+    rev = jax.lax.ppermute(x, axis, [(i, n - 1 - i) for i in range(n)])
+    return jnp.flip(rev, axis=time_axis)

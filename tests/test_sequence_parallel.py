@@ -137,3 +137,90 @@ def test_pipeline_parallel_matches_sequential():
                        axis="stage", n_microbatches=4)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_halo_exchange_depthwise_conv(seq_mesh):
+    """T-sharded depthwise conv via halo_exchange == full conv — the
+    sp-encoder building block for the kernel-31 conv module."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from paper_accurate_fast_cheap_tpu.parallel.sequence import (
+        halo_exchange,
+    )
+
+    B, T, C, K = 2, 64, 8, 7
+    H = K // 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, C))
+    w = jax.random.normal(jax.random.PRNGKey(1), (K, C)) * 0.3
+
+    def dwconv(xp, w):  # valid conv over a (B, Tloc+K-1, C) input
+        Tl = xp.shape[1] - (K - 1)
+        acc = jnp.zeros((xp.shape[0], Tl, C))
+        for k in range(K):
+            acc = acc + xp[:, k:k + Tl] * w[k]
+        return acc
+
+    y_ref = dwconv(jnp.pad(x, ((0, 0), (H, H), (0, 0))), w)
+
+    @functools.partial(
+        jax.shard_map, mesh=seq_mesh,
+        in_specs=(P(None, "seq"), P()), out_specs=P(None, "seq"))
+    def run(xs, w):
+        return dwconv(halo_exchange(xs, "seq", H, H), w)
+
+    y = run(x, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flip_sharded(seq_mesh):
+    """Distributed time-reverse == jnp.flip."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from paper_accurate_fast_cheap_tpu.parallel.sequence import flip_sharded
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 4))
+
+    @functools.partial(jax.shard_map, mesh=seq_mesh,
+                       in_specs=P(None, "seq"), out_specs=P(None, "seq"))
+    def run(xs):
+        return flip_sharded(xs, "seq")
+
+    np.testing.assert_allclose(np.asarray(run(x)),
+                               np.asarray(jnp.flip(x, axis=1)))
+
+
+def test_sp_rwkv_attention_layer(seq_mesh):
+    """The WHOLE bidirectional RWKV attention layer running T-sharded
+    (spmd_axis: halo token-shift + sp WKV body + distributed flips)
+    == the plain single-device layer."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from paper_accurate_fast_cheap_tpu.models.rwkv import RWKVAttention
+
+    B, T, D = 2, 128, 64
+    att = RWKVAttention(head_size=16, dim_att=D, n_layers=2,
+                        direction="bi", do_bfloat16=False,
+                        wkv_chunk_size=16)
+    att_sp = RWKVAttention(head_size=16, dim_att=D, n_layers=2,
+                           direction="bi", do_bfloat16=False,
+                           wkv_chunk_size=16, spmd_axis="seq")
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, D))
+    params = att.init(jax.random.PRNGKey(1), x)
+    y_ref = att.apply(params, x)
+
+    @functools.partial(jax.shard_map, mesh=seq_mesh,
+                       in_specs=(P(), P(None, "seq")),
+                       out_specs=P(None, "seq"))
+    def run(p, xs):
+        return att_sp.apply(p, xs)
+
+    y = run(params, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
