@@ -137,6 +137,10 @@ class ConformerEncoderLayer(nn.Module):
     cnn_module_norm: str = "layer_norm"
     causal: bool = False
     normalize_before: bool = True
+    # sequence-parallel mode (T sharded over this mesh axis inside an
+    # enclosing shard_map); requires an spmd-aware self_attn (RWKV/mamba)
+    # and full-length sequences
+    spmd_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, att_mask=None, pos_emb=None, pad_mask=None,
@@ -188,7 +192,7 @@ class ConformerEncoderLayer(nn.Module):
             y = nn.LayerNorm(epsilon=1e-5, name="norm_conv")(x)
             conv = ConvolutionModule(
                 self.d_model, self.cnn_module_kernel, self.cnn_module_norm,
-                self.causal, name="conv_module",
+                self.causal, spmd_axis=self.spmd_axis, name="conv_module",
             )
             if return_state:
                 y, new_state["conv"] = conv(

@@ -21,6 +21,10 @@ class ConvolutionModule(nn.Module):
     norm: str = "layer_norm"  # paper configs use layer_norm
     causal: bool = False
     bias: bool = True
+    # sequence-parallel mode: when set (inside a shard_map with T sharded
+    # over this axis), the depthwise conv takes its (k-1)/2-frame
+    # boundary context from neighbour shards via halo exchange
+    spmd_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask_pad=None, *, deterministic: bool = True,
@@ -28,11 +32,34 @@ class ConvolutionModule(nn.Module):
         """x: (B, T, C); mask_pad: bool (B, T) True=valid.  For causal
         streaming, ``cache`` holds the previous chunk's last (kernel-1)
         post-GLU frames (`convolution.py:89-144` cnn_cache role)."""
+        if self.spmd_axis and (mask_pad is not None or self.causal
+                               or return_cache):
+            raise ValueError("spmd_axis conv requires full-length "
+                             "non-causal sequences without caches")
         if mask_pad is not None:
             x = jnp.where(mask_pad[..., None], x, 0.0)
         y = nn.Dense(2 * self.channels, use_bias=self.bias)(x)  # pointwise 1
         a, b = jnp.split(y, 2, axis=-1)
         y = a * nn.sigmoid(b)  # GLU
+
+        if self.spmd_axis:
+            from paper_accurate_fast_cheap_tpu.parallel.sequence import (
+                halo_exchange,
+            )
+
+            h = (self.kernel_size - 1) // 2
+            y = halo_exchange(y, self.spmd_axis, h, h)
+            y = nn.Conv(
+                self.channels, (self.kernel_size,), padding="VALID",
+                feature_group_count=self.channels, use_bias=self.bias,
+            )(y)
+            if self.norm == "layer_norm":
+                y = nn.LayerNorm(epsilon=1e-5)(y)
+            else:
+                y = nn.BatchNorm(use_running_average=deterministic,
+                                 epsilon=1e-5)(y)
+            y = nn.silu(y)
+            return nn.Dense(self.channels, use_bias=self.bias)(y)
 
         new_cache = None
         if self.causal:

@@ -224,3 +224,45 @@ def test_sp_rwkv_attention_layer(seq_mesh):
     y = run(params, x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_sp_full_conformer_layer(seq_mesh):
+    """A COMPLETE conformer block (macaron FFN + bi-RWKV attention +
+    kernel-31 conv module + FFN + norms) running T-sharded over 8
+    devices == the plain single-device block."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from paper_accurate_fast_cheap_tpu.models.conformer import (
+        ConformerEncoderLayer,
+    )
+    from paper_accurate_fast_cheap_tpu.models.rwkv import RWKVAttention
+
+    B, T, D = 2, 128, 64
+
+    def make(spmd):
+        return ConformerEncoderLayer(
+            d_model=D,
+            self_attn=RWKVAttention(
+                head_size=16, dim_att=D, n_layers=1, direction="bi",
+                do_bfloat16=False, wkv_chunk_size=16, spmd_axis=spmd),
+            linear_units=96, dropout_rate=0.0, cnn_module_kernel=15,
+            spmd_axis=spmd,
+        )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, D))
+    params = make(None).init(jax.random.PRNGKey(1), x)
+    y_ref = make(None).apply(params, x)
+
+    layer_sp = make("seq")
+
+    @functools.partial(jax.shard_map, mesh=seq_mesh,
+                       in_specs=(P(), P(None, "seq")),
+                       out_specs=P(None, "seq"))
+    def run(p, xs):
+        return layer_sp.apply(p, xs)
+
+    y = run(params, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
