@@ -107,6 +107,7 @@ def _make_attention(
             wkv_impl=rwkv_conf.get("wkv_impl", "chunked"),
             wkv_chunk_size=rwkv_conf.get("wkv_chunk_size", 256),
             wkv_version=rwkv_conf.get("wkv_version"),
+            spmd_axis=rwkv_conf.get("spmd_axis"),
             bidirectional_layers=rwkv_conf.get("bidirectional_layers"),
             alt_decoding=rwkv_conf.get("alt_decoding", False),
         )
@@ -377,20 +378,29 @@ class ConformerEncoder(nn.Module):
             return xs, out_lens, {"layers": new_states}
 
         T = xs.shape[1]
-        pad_mask = mask_utils.make_pad_mask(out_lens, T)
-        if self.use_dynamic_chunk and not deterministic:
+        spmd_axis = rwkv_conf.get("spmd_axis")
+        if spmd_axis:
+            # sequence-parallel mode (T sharded inside an enclosing
+            # shard_map): full-length sequences only — no masks/lengths;
+            # the sp-aware modules fetch boundary context from the mesh
+            pad_mask = None
+            att_mask = None
+        elif self.use_dynamic_chunk and not deterministic:
+            pad_mask = mask_utils.make_pad_mask(out_lens, T)
             att_mask = mask_utils.add_optional_chunk_mask(
                 pad_mask, True, self.use_dynamic_left_chunk,
                 decoding_chunk_size, self.static_chunk_size,
                 num_decoding_left_chunks, rng=self.make_rng("chunk"),
             )
         elif self.static_chunk_size > 0 or decoding_chunk_size != 0:
+            pad_mask = mask_utils.make_pad_mask(out_lens, T)
             att_mask = mask_utils.add_optional_chunk_mask(
                 pad_mask, False, False,
                 0 if decoding_chunk_size < 0 else decoding_chunk_size,
                 self.static_chunk_size, num_decoding_left_chunks,
             )
         else:
+            pad_mask = mask_utils.make_pad_mask(out_lens, T)
             att_mask = pad_mask[:, None, :]
 
         layer_outs = []
@@ -405,6 +415,7 @@ class ConformerEncoder(nn.Module):
             cnn_module_norm=self.cnn_module_norm,
             causal=self.causal,
             normalize_before=self.normalize_before,
+            spmd_axis=spmd_axis,
         )
         for i in range(self.num_blocks):
             def attn_factory(i=i):
@@ -433,10 +444,11 @@ class ConformerEncoder(nn.Module):
                 # `encoder.py` / `train_utils.py:354-392`)
                 xs = nn.remat(
                     ConformerEncoderLayer.__call__, static_argnums=(6,)
-                )(layer, xs, att_mask, pos_emb, pad_mask, out_lens,
-                  deterministic)
+                )(layer, xs, att_mask, pos_emb, pad_mask,
+                  None if spmd_axis else out_lens, deterministic)
             else:
-                xs = layer(xs, att_mask, pos_emb, pad_mask, out_lens,
+                xs = layer(xs, att_mask, pos_emb, pad_mask,
+                           None if spmd_axis else out_lens,
                            deterministic=deterministic)
             if return_layers:
                 layer_outs.append(xs)

@@ -266,3 +266,49 @@ def test_sp_full_conformer_layer(seq_mesh):
     y = run(params, x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_sp_full_encoder_stack(seq_mesh):
+    """A complete multi-block rwkv ConformerEncoder (pre-embedded entry)
+    running T-sharded == the single-device encoder: rwkv_conf
+    {'spmd_axis': ...} switches every block into sequence-parallel
+    mode (halo conv, sp WKV, distributed flips, no masks)."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from paper_accurate_fast_cheap_tpu.models.conformer import (
+        ConformerEncoder,
+    )
+
+    B, T, D = 2, 128, 64
+
+    def make(spmd):
+        return ConformerEncoder(
+            input_size=D, output_size=D, attention_heads=4,
+            linear_units=96, num_blocks=2, dropout_rate=0.0,
+            positional_dropout_rate=0.0, cnn_module_kernel=15,
+            selfattention_layer_type="rwkv_tmix60_bidirectional",
+            rwkv_conf={"rwkv_do_bfloat16": False, "wkv_chunk_size": 16,
+                       "spmd_axis": spmd},
+        )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, D))
+    lens = jnp.full((B,), T, jnp.int32)
+    params = make(None).init(jax.random.PRNGKey(1), x, lens,
+                             pre_embedded=True)
+    y_ref, ref_lens = make(None).apply(params, x, lens, pre_embedded=True)
+
+    enc_sp = make("seq")
+
+    @functools.partial(jax.shard_map, mesh=seq_mesh,
+                       in_specs=(P(), P(None, "seq")),
+                       out_specs=P(None, "seq"))
+    def run(p, xs):
+        ls = jnp.full((xs.shape[0],), xs.shape[1], jnp.int32)
+        y, _ = enc_sp.apply(p, xs, ls, pre_embedded=True)
+        return y
+
+    y = run(params, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=3e-4, atol=3e-4)
