@@ -119,6 +119,7 @@ def _make_attention(
             d_model=d_model,
             n_layers=num_blocks,
             direction=rwkv_conf.get("rnn_att_direction", "bi"),
+            spmd_axis=rwkv_conf.get("spmd_axis"),
             layer_id=layer_id,
         )
     raise NotImplementedError(f"attention type {layer_type}")

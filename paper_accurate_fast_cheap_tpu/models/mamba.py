@@ -46,6 +46,10 @@ class Mamba2Block(nn.Module):
     ngroups: int = 1
     chunk_size: int = 64
     ssd_impl: str = "chunked"
+    # sequence-parallel mode: T sharded over this mesh axis inside an
+    # enclosing shard_map (causal conv takes a left halo; the SSD scan
+    # uses the sp collective body)
+    spmd_axis: "str | None" = None
     dt_min: float = 0.001
     dt_max: float = 0.1
     A_init_range: tuple = (1.0, 16.0)
@@ -71,11 +75,23 @@ class Mamba2Block(nn.Module):
 
         # short causal depthwise conv on (x, B, C) jointly
         conv_in = jnp.concatenate([xs, Bc, Cc], axis=-1)
-        conv = nn.Conv(
-            conv_in.shape[-1], (self.d_conv,),
-            padding=((self.d_conv - 1, 0),),
-            feature_group_count=conv_in.shape[-1], name="conv1d",
-        )(conv_in)
+        if self.spmd_axis:
+            from paper_accurate_fast_cheap_tpu.parallel.sequence import (
+                halo_exchange,
+            )
+
+            conv_in = halo_exchange(conv_in, self.spmd_axis,
+                                    self.d_conv - 1, 0)
+            conv = nn.Conv(
+                conv_in.shape[-1], (self.d_conv,), padding="VALID",
+                feature_group_count=conv_in.shape[-1], name="conv1d",
+            )(conv_in)
+        else:
+            conv = nn.Conv(
+                conv_in.shape[-1], (self.d_conv,),
+                padding=((self.d_conv - 1, 0),),
+                feature_group_count=conv_in.shape[-1], name="conv1d",
+            )(conv_in)
         conv = nn.silu(conv)
         xs, Bc, Cc = jnp.split(conv, [d_inner, d_inner + G * N], axis=-1)
 
@@ -102,16 +118,29 @@ class Mamba2Block(nn.Module):
         A = -jnp.exp(A_log.astype(jnp.float32))
         D_skip = self.param("D", nn.initializers.ones, (H,))
 
-        y = ssd_ops.ssd(
-            xs.reshape(Bt, T, H, self.headdim),
-            dtv.astype(dt),
-            A.astype(dt),
-            Bc.reshape(Bt, T, G, N),
-            Cc.reshape(Bt, T, G, N),
-            D_skip.astype(dt),
-            chunk_size=self.chunk_size,
-            impl=self.ssd_impl,
-        ).reshape(Bt, T, d_inner)
+        if self.spmd_axis:
+            from paper_accurate_fast_cheap_tpu.parallel.sequence import (
+                ssd_sp_body,
+            )
+
+            y = ssd_sp_body(
+                xs.reshape(Bt, T, H, self.headdim),
+                dtv.astype(dt), A.astype(dt),
+                Bc.reshape(Bt, T, G, N), Cc.reshape(Bt, T, G, N),
+                D_skip.astype(dt), self.spmd_axis,
+                chunk_size=self.chunk_size,
+            ).reshape(Bt, T, d_inner)
+        else:
+            y = ssd_ops.ssd(
+                xs.reshape(Bt, T, H, self.headdim),
+                dtv.astype(dt),
+                A.astype(dt),
+                Bc.reshape(Bt, T, G, N),
+                Cc.reshape(Bt, T, G, N),
+                D_skip.astype(dt),
+                chunk_size=self.chunk_size,
+                impl=self.ssd_impl,
+            ).reshape(Bt, T, d_inner)
 
         y = GatedRMSNorm(name="norm")(y, z)
         return nn.Dense(D, use_bias=False, name="out_proj")(y)
@@ -128,6 +157,7 @@ class MambaAttention(nn.Module):
     d_state: int = 128
     chunk_size: int = 64
     ssd_impl: str = "chunked"
+    spmd_axis: "str | None" = None   # T-sharded (sequence-parallel) mode
 
     @nn.compact
     def __call__(self, x_q, x_kv=None, mask=None, pos_emb=None, *,
@@ -136,7 +166,8 @@ class MambaAttention(nn.Module):
         fwd_block = Mamba2Block(
             d_model=self.d_model, headdim=self.head_size,
             d_state=self.d_state, chunk_size=self.chunk_size,
-            ssd_impl=self.ssd_impl, name="mamba_fwd",
+            ssd_impl=self.ssd_impl, spmd_axis=self.spmd_axis,
+            name="mamba_fwd",
         )
         if self.direction == "uni":
             return fwd_block(x)
@@ -145,8 +176,21 @@ class MambaAttention(nn.Module):
         bwd_block = Mamba2Block(
             d_model=self.d_model, headdim=self.head_size,
             d_state=self.d_state, chunk_size=self.chunk_size,
-            ssd_impl=self.ssd_impl, name="mamba_bwd",
+            ssd_impl=self.ssd_impl, spmd_axis=self.spmd_axis,
+            name="mamba_bwd",
         )
+        if self.spmd_axis:
+            if lengths is not None:
+                raise ValueError(
+                    "spmd_axis (sequence parallelism) requires "
+                    "full-length sequences (lengths=None)")
+            from paper_accurate_fast_cheap_tpu.parallel.sequence import (
+                flip_sharded,
+            )
+
+            xr = flip_sharded(x, self.spmd_axis)
+            return (fwd_block(x)
+                    + flip_sharded(bwd_block(xr), self.spmd_axis)) / 2
         xr = flip_padded(x, lengths)
         y = (fwd_block(x) + flip_padded(bwd_block(xr), lengths)) / 2
         return y

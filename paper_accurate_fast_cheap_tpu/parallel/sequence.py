@@ -188,3 +188,73 @@ def flip_sharded(x: jax.Array, axis: str, time_axis: int = 1):
     n = jax.lax.axis_size(axis)
     rev = jax.lax.ppermute(x, axis, [(i, n - 1 - i) for i in range(n)])
     return jnp.flip(rev, axis=time_axis)
+
+
+def ssd_sp_body(x, dt, A, B, C, D, axis: str, state=None,
+                chunk_size: int = 64, return_state: bool = False):
+    """Sequence-parallel Mamba-2 SSD body (inside an enclosing shard_map
+    over ``axis``): same shard-summary algebra as `wkv6_sp_body` with the
+    simpler per-(batch, head) scalar decay exp(A * sum dt).  Arguments as
+    `ops.ssd.ssd` with T sharded; x: (Bt, T, H, P), dt post-softplus."""
+    from paper_accurate_fast_cheap_tpu.ops import ssd as ssd_ops
+
+    n = jax.lax.axis_size(axis)
+    Bt, _, H, P = x.shape
+    N = B.shape[3]
+    if state is None:
+        state = jnp.zeros((Bt, H, N, P), jnp.float32)
+    zero = jax.lax.pcast(
+        jnp.zeros((Bt, H, N, P), jnp.float32), axis, to="varying")
+    _, S_loc = ssd_ops.ssd_chunked(
+        x, dt, A, B, C, None, state=zero, chunk_size=chunk_size,
+        return_state=True)
+    a_loc = jnp.exp(
+        A.astype(jnp.float32)[None] *
+        jnp.sum(dt.astype(jnp.float32), axis=1))          # (Bt, H)
+
+    a_all = jax.lax.all_gather(a_loc, axis)               # (n, Bt, H)
+    S_all = jax.lax.all_gather(S_loc, axis)               # (n, Bt, H, N, P)
+    idx = jax.lax.axis_index(axis)
+    S_in = state.astype(jnp.float32)
+    S_mine = S_in
+    for j in range(n):
+        S_in = a_all[j][..., None, None] * S_in + S_all[j]
+        S_mine = jnp.where(j < idx, S_in, S_mine)
+
+    out = ssd_ops.ssd_chunked(
+        x, dt, A, B, C, D, state=S_mine, chunk_size=chunk_size,
+        return_state=False)
+    if return_state:
+        S_fin = jax.lax.psum(jnp.where(idx == n - 1, S_in, 0.0), axis)
+        return out, S_fin
+    return out
+
+
+def ssd_sequence_parallel(x, dt, A, B, C, D, mesh: Mesh,
+                          axis: str = "seq", state=None,
+                          chunk_size: int = 64,
+                          return_state: bool = False):
+    """Standalone wrapper around `ssd_sp_body` (T sharded over ``axis``)."""
+    T = x.shape[1]
+    n = mesh.shape[axis]
+    if T % n:
+        raise ValueError(f"T={T} not divisible by mesh axis {axis}={n}")
+    spec_t = P(None, axis)
+    spec_r = P()
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(spec_t, spec_t, spec_r, spec_t, spec_t, spec_r, spec_r),
+        out_specs=(spec_t, spec_r) if return_state else spec_t,
+    )
+    def _run(xs, dts, As, Bs, Cs, Ds, S0):
+        return ssd_sp_body(xs, dts, As, Bs, Cs, Ds, axis, state=S0,
+                           chunk_size=chunk_size,
+                           return_state=return_state)
+
+    Bt, _, H, Pd = x.shape
+    N = B.shape[3]
+    S0 = (jnp.zeros((Bt, H, N, Pd), jnp.float32)
+          if state is None else state)
+    D_arr = jnp.zeros((H,), jnp.float32) if D is None else D
+    return _run(x, dt, A, B, C, D_arr, S0)

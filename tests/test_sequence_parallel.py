@@ -312,3 +312,56 @@ def test_sp_full_encoder_stack(seq_mesh):
     y = run(params, x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_sp_ssd_op(seq_mesh):
+    """Sequence-parallel Mamba-2 SSD == single-device ssd_chunked."""
+    from paper_accurate_fast_cheap_tpu.ops.ssd import ssd_chunked
+    from paper_accurate_fast_cheap_tpu.parallel.sequence import (
+        ssd_sequence_parallel,
+    )
+
+    Bt, T, H, Pd, G, N = 2, 128, 4, 16, 2, 8
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    x = jax.random.normal(ks[0], (Bt, T, H, Pd))
+    dtv = jax.nn.softplus(jax.random.normal(ks[1], (Bt, T, H)) - 1.0)
+    A = -jnp.exp(jax.random.normal(ks[2], (H,)) * 0.3)
+    B = jax.random.normal(ks[3], (Bt, T, G, N)) * 0.5
+    C = jax.random.normal(ks[4], (Bt, T, G, N)) * 0.5
+    D = jax.random.normal(ks[5], (H,)) * 0.1
+
+    y_ref = ssd_chunked(x, dtv, A, B, C, D, chunk_size=16)
+    y = ssd_sequence_parallel(x, dtv, A, B, C, D, seq_mesh,
+                              chunk_size=16)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sp_mamba_attention_layer(seq_mesh):
+    """Bidirectional Mamba attention running T-sharded (halo causal conv
+    + sp SSD + distributed flips) == the plain layer."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from paper_accurate_fast_cheap_tpu.models.mamba import MambaAttention
+
+    B, T, D = 2, 128, 32
+    att = MambaAttention(head_size=16, d_model=D, n_layers=1,
+                         direction="bi", d_state=16, chunk_size=16)
+    att_sp = MambaAttention(head_size=16, d_model=D, n_layers=1,
+                            direction="bi", d_state=16, chunk_size=16,
+                            spmd_axis="seq")
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, D))
+    params = att.init(jax.random.PRNGKey(1), x)
+    y_ref = att.apply(params, x)
+
+    @functools.partial(jax.shard_map, mesh=seq_mesh,
+                       in_specs=(P(), P(None, "seq")),
+                       out_specs=P(None, "seq"))
+    def run(p, xs):
+        return att_sp.apply(p, xs)
+
+    y = run(params, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=3e-4, atol=3e-4)
