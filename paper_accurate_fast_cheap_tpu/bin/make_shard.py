@@ -20,9 +20,12 @@ import numpy as np
 def get_args(argv=None):
     p = argparse.ArgumentParser(description="write tar shards")
     p.add_argument("--wav_scp", required=True, help="'key path' per line")
-    p.add_argument("--audio_format", default="wav", choices=["wav", "flac"],
+    p.add_argument("--audio_format", default="wav",
+                   choices=["wav", "flac", "opus"],
                    help="shard entry codec (reference AUDIO_FORMAT_SETS, "
-                        "tools/make_shard.py:36; flac via the native codec)")
+                        "tools/make_shard.py:36; flac via the native "
+                        "codec, opus via libopus — inputs may be "
+                        "wav/flac/ogg-opus/mp3 regardless)")
     p.add_argument("--text", required=True, help="'key transcript' per line")
     p.add_argument("--output_dir", required=True)
     p.add_argument("--num_utts_per_shard", type=int, default=1000)
@@ -104,6 +107,16 @@ def main(argv=None):
             from paper_accurate_fast_cheap_tpu.data.flac import encode_flac
 
             data_wav = encode_flac(np.asarray(samples, np.float32), sr)
+        elif args.audio_format == "opus":
+            from paper_accurate_fast_cheap_tpu.data.codecs import (
+                encode_ogg_opus,
+            )
+
+            if sr not in (8000, 12000, 16000, 24000, 48000):
+                raise SystemExit(
+                    f"opus output needs 8/12/16/24/48 kHz input (got {sr}); "
+                    "pass --resample 16000")
+            data_wav = encode_ogg_opus(np.asarray(samples, np.float32), sr)
         else:
             data_wav = _wav_to_bytes(np.asarray(samples, np.float32), sr)
         for ext, data in (("txt", data_txt),

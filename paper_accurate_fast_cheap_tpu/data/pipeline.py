@@ -180,9 +180,17 @@ def _read_audio_bytes(data: bytes, ext=None):
         return x, sr
     if data[:4] == b"RIFF":
         return _read_wav_bytes(data)
+    if data[:4] == b"OggS":
+        from paper_accurate_fast_cheap_tpu.data import codecs
+
+        return codecs.decode_ogg_opus(data)
+    from paper_accurate_fast_cheap_tpu.data import codecs
+
+    if codecs.sniff_mp3(data):
+        return codecs.decode_mp3(data)
     raise ValueError(
-        f"unsupported audio format (ext={ext!r}); this image has no "
-        "sox/ffmpeg — re-pack shards as wav or flac with bin/make_shard.py"
+        f"unsupported audio format (ext={ext!r}); supported: wav, flac, "
+        "ogg/opus, mp3 — re-pack m4a with bin/make_shard.py"
     )
 
 
