@@ -16,9 +16,12 @@ carries next to `wenet/transducer/search/`.  Implemented here:
   Sung 2020) — prune-by-value ``select_k_expansions`` with
   ``expansion_gamma``/``expansion_beta``
 
-The reference's LM shallow-fusion hooks (``use_lm``) are not carried: the
-release never configures an LM (none shipped or wired in any recipe), so
-all searches here are the ``lm=None`` code path of the reference.
+LM shallow fusion (the reference's ``use_lm`` hooks, `:121-139`) is
+carried in all five searches via ``lm=``/``lm_weight=`` and the scorer
+protocol in `decode/lm.py` (ARPA n-gram included) — parity-tested against
+the reference with the same LM mocked into its ESPnet scorer interface
+(`tests/test_lm_fusion.py`), including the reference's mAES final-round
+stale-``lm_state`` quirk (`:826-828`).
 
 Interface: the same jitted step callables the main stack uses
 (`decode/rnnt_search.py`): ``predictor_step(tokens (n,), state) ->
@@ -56,6 +59,8 @@ class Hypothesis:
     pred_out: np.ndarray          # predictor output after consuming yseq
     state_idx: int                # row into the searcher's state bank
     dec_outs: Optional[List[np.ndarray]] = None
+    lm_state: tuple = ()          # shallow-fusion LM state (`:121-139`)
+    lm_scores: Optional[np.ndarray] = None  # cached dist (ExtendedHypothesis)
 
 
 class _StateBank:
@@ -82,7 +87,14 @@ class _StateBank:
 
 
 class BeamSearchTransducer:
-    """`beam_search_transducer.py:45-163` surface (LM-free)."""
+    """`beam_search_transducer.py:45-163` surface.
+
+    ``lm``/``lm_weight`` enable shallow fusion (`:121-139`): any scorer
+    with ``score(state, token) -> (logp_over_V, state)`` and
+    ``advance(state, token) -> state`` (see `decode/lm.py`).  Reference
+    semantics (`:280-291,383-397`): only non-blank extensions add
+    ``lm_weight * lm_logp[token]`` and advance the LM state; blank keeps
+    both untouched."""
 
     def __init__(
         self,
@@ -100,6 +112,8 @@ class BeamSearchTransducer:
         expansion_gamma: float = 2.3,
         expansion_beta: int = 2,
         nbest: Optional[int] = None,
+        lm=None,
+        lm_weight: float = 0.3,
     ):
         self.predictor_step = predictor_step
         self.joint_step = jax.jit(joint_step)
@@ -117,6 +131,21 @@ class BeamSearchTransducer:
         self.expansion_gamma = expansion_gamma
         self.expansion_beta = expansion_beta
         self.nbest = nbest if nbest is not None else beam_size
+        self.lm = lm
+        self.lm_weight = lm_weight
+        self.use_lm = lm is not None
+        self._lm_cache = {}
+
+    # -- LM shallow fusion helpers (`:121-139`) --------------------------
+    def _lm_vec(self, state: tuple) -> np.ndarray:
+        v = self._lm_cache.get(state)
+        if v is None:
+            v, _ = self.lm.score(state, None)
+            self._lm_cache[state] = v
+        return v
+
+    def _lm_adv(self, state: tuple, tok: int) -> tuple:
+        return self.lm.advance(state, tok)
 
     # -- public -----------------------------------------------------------
     def __call__(self, enc_out: jax.Array) -> List[Hypothesis]:
@@ -161,9 +190,13 @@ class BeamSearchTransducer:
         pred, state = self.predictor_step(tok, state)
         bank = _StateBank(state)
         p0 = np.asarray(pred[0])
+        lm_state = self.lm.init_state() if self.use_lm else ()
         return Hypothesis(score=0.0, yseq=[self.blank_id], pred_out=p0,
                           state_idx=0,
-                          dec_outs=[p0] if extended else None), bank
+                          dec_outs=[p0] if extended else None,
+                          lm_state=lm_state,
+                          lm_scores=(self._lm_vec(lm_state)
+                                     if self.use_lm else None)), bank
 
     def _advance(self, bank: _StateBank, hyps: List[Hypothesis],
                  tokens: List[int]):
@@ -228,19 +261,28 @@ class BeamSearchTransducer:
                 nb[self.blank_id] = -np.inf
                 toks = [int(k) for k in
                         np.argsort(-nb)[: min(beam_k, nb.shape[0] - 1)]]
-                # blank: hyp survives to the next frame
+                # blank: hyp survives to the next frame (LM untouched,
+                # `:280-291`)
                 kept_hyps.append(Hypothesis(
                     score=max_hyp.score + float(logp[self.blank_id]),
                     yseq=max_hyp.yseq[:], pred_out=max_hyp.pred_out,
-                    state_idx=max_hyp.state_idx))
+                    state_idx=max_hyp.state_idx,
+                    lm_state=max_hyp.lm_state))
+                lm_vec = (self._lm_vec(max_hyp.lm_state)
+                          if self.use_lm else None)
                 # non-blank expansions compete within this frame
                 preds, rows = self._advance(
                     bank, [max_hyp] * len(toks), toks)
                 for tok, pr, row in zip(toks, preds, rows):
+                    score = max_hyp.score + float(logp[tok])
+                    lm_state = max_hyp.lm_state
+                    if lm_vec is not None:
+                        score += self.lm_weight * float(lm_vec[tok])
+                        lm_state = self._lm_adv(lm_state, tok)
                     hyps.append(Hypothesis(
-                        score=max_hyp.score + float(logp[tok]),
+                        score=score,
                         yseq=max_hyp.yseq + [tok],
-                        pred_out=pr, state_idx=row))
+                        pred_out=pr, state_idx=row, lm_state=lm_state))
                 hyps_max = max(h.score for h in hyps)
                 kept_most_prob = [h for h in kept_hyps
                                   if h.score > hyps_max]
@@ -270,7 +312,8 @@ class BeamSearchTransducer:
                         A.append(Hypothesis(
                             score=new_score, yseq=hyp.yseq[:],
                             pred_out=hyp.pred_out,
-                            state_idx=hyp.state_idx))
+                            state_idx=hyp.state_idx,
+                            lm_state=hyp.lm_state))
                         seq_A.append(hyp.yseq)
                     else:
                         pos = seq_A.index(hyp.yseq)
@@ -283,19 +326,27 @@ class BeamSearchTransducer:
                     top = np.argpartition(-nb, k - 1, axis=1)[:, :k]
                     cand_hyps, cand_toks, cand_scores = [], [], []
                     for i, hyp in enumerate(C):
+                        lm_vec = (self._lm_vec(hyp.lm_state)
+                                  if self.use_lm else None)
                         for kk in top[i]:
                             tok = int(kk) + (1 if self.blank_id == 0
                                              else 0)
                             cand_hyps.append(hyp)
                             cand_toks.append(tok)
-                            cand_scores.append(
-                                hyp.score + float(nb[i, kk]))
+                            sc = hyp.score + float(nb[i, kk])
+                            if lm_vec is not None:
+                                # `:383-397` — LM only on expansions
+                                sc += self.lm_weight * float(lm_vec[tok])
+                            cand_scores.append(sc)
                     preds, rows = self._advance(bank, cand_hyps, cand_toks)
                     for h, tok, s, pr, row in zip(
                             cand_hyps, cand_toks, cand_scores, preds,
                             rows):
-                        D.append(Hypothesis(score=s, yseq=h.yseq + [tok],
-                                            pred_out=pr, state_idx=row))
+                        D.append(Hypothesis(
+                            score=s, yseq=h.yseq + [tok],
+                            pred_out=pr, state_idx=row,
+                            lm_state=(self._lm_adv(h.lm_state, tok)
+                                      if self.use_lm else ())))
                 C = sorted(D, key=lambda x: x.score, reverse=True)[:beam]
             B = sorted(A, key=lambda x: x.score, reverse=True)[:beam]
         return B
@@ -331,10 +382,12 @@ class BeamSearchTransducer:
                 new_hyp = Hypothesis(
                     score=hyp.score + float(logp[idx, self.blank_id]),
                     yseq=hyp.yseq[:], pred_out=hyp.pred_out,
-                    state_idx=hyp.state_idx)
+                    state_idx=hyp.state_idx, lm_state=hyp.lm_state)
                 A.append(new_hyp)
                 if B_t[idx] == t_max - 1:
                     final.append(new_hyp)
+                lm_vec = (self._lm_vec(hyp.lm_state)
+                          if self.use_lm else None)
                 nb = logp[idx, 1:] if self.blank_id == 0 else logp[idx]
                 k = min(beam, nb.shape[0])
                 top = np.argpartition(-nb, k - 1)[:k]
@@ -342,13 +395,19 @@ class BeamSearchTransducer:
                     tok = int(kk) + (1 if self.blank_id == 0 else 0)
                     cand_hyps.append(hyp)
                     cand_toks.append(tok)
-                    cand_scores.append(hyp.score + float(nb[kk]))
+                    sc = hyp.score + float(nb[kk])
+                    if lm_vec is not None:
+                        sc += self.lm_weight * float(lm_vec[tok])
+                    cand_scores.append(sc)
             if cand_hyps:
                 preds, rows = self._advance(bank, cand_hyps, cand_toks)
                 for h, tok, s, pr, row in zip(cand_hyps, cand_toks,
                                               cand_scores, preds, rows):
-                    A.append(Hypothesis(score=s, yseq=h.yseq + [tok],
-                                        pred_out=pr, state_idx=row))
+                    A.append(Hypothesis(
+                        score=s, yseq=h.yseq + [tok],
+                        pred_out=pr, state_idx=row,
+                        lm_state=(self._lm_adv(h.lm_state, tok)
+                                  if self.use_lm else ())))
             B = sorted(A, key=lambda x: x.score, reverse=True)[:beam]
             B = _recombine_hyps(B)
         return final if final else B
@@ -381,14 +440,23 @@ class BeamSearchTransducer:
                     S.append(Hypothesis(
                         score=hyp.score + float(logp[i, self.blank_id]),
                         yseq=hyp.yseq[:], pred_out=hyp.pred_out,
-                        state_idx=hyp.state_idx, dec_outs=hyp.dec_outs[:]))
+                        state_idx=hyp.state_idx, dec_outs=hyp.dec_outs[:],
+                        lm_state=hyp.lm_state))
+                    lm_vec = (self._lm_vec(hyp.lm_state)
+                              if self.use_lm else None)
                     for k in top[i]:
+                        sc = hyp.score + float(nb[i, k])
+                        if lm_vec is not None:
+                            # `:650-669` — LM on the expansion only
+                            sc += self.lm_weight * float(lm_vec[int(k)])
                         Vexp.append(Hypothesis(
-                            score=hyp.score + float(nb[i, k]),
+                            score=sc,
                             yseq=hyp.yseq + [int(k)],
                             pred_out=hyp.pred_out,
                             state_idx=hyp.state_idx,
-                            dec_outs=hyp.dec_outs[:]))
+                            dec_outs=hyp.dec_outs[:],
+                            lm_state=(self._lm_adv(hyp.lm_state, int(k))
+                                      if self.use_lm else ())))
                 Vexp.sort(key=lambda x: x.score, reverse=True)
                 Vexp = _subtract(Vexp, hyps)[:beam]
                 if not Vexp:
@@ -444,10 +512,16 @@ class BeamSearchTransducer:
                             score=new_score, yseq=hyp.yseq[:],
                             pred_out=hyp.pred_out,
                             state_idx=hyp.state_idx,
-                            dec_outs=hyp.dec_outs[:])
+                            dec_outs=hyp.dec_outs[:],
+                            lm_state=hyp.lm_state,
+                            lm_scores=hyp.lm_scores)
                         if k == self.blank_id:
                             list_b.append(new_hyp)
                         else:
+                            if self.use_lm:
+                                # `:773-777` — cached per-hyp dist
+                                new_hyp.score += self.lm_weight * float(
+                                    hyp.lm_scores[int(k)])
                             new_hyp.yseq.append(int(k))
                             list_exp.append(new_hyp)
                 if not list_exp:
@@ -456,11 +530,21 @@ class BeamSearchTransducer:
                     break
                 preds, rows = self._advance(
                     bank, list_exp, [h.yseq[-1] for h in list_exp])
+                if self.use_lm:
+                    # `:800-803` — advance each expansion's LM by its
+                    # last label and refresh the cached dist
+                    lm_next = [self._lm_adv(h.lm_state, h.yseq[-1])
+                               for h in list_exp]
+                    lm_vecs = [self._lm_vec(st) for st in lm_next]
                 if n < self.nstep - 1:
-                    for h, pr, row in zip(list_exp, preds, rows):
+                    for i, (h, pr, row) in enumerate(
+                            zip(list_exp, preds, rows)):
                         h.dec_outs.append(pr)
                         h.pred_out = pr
                         h.state_idx = row
+                        if self.use_lm:
+                            h.lm_state = lm_next[i]
+                            h.lm_scores = lm_vecs[i]
                     hyps = list_exp[:]
                 else:
                     logp2 = self._joint_vecs(enc_t, list(preds))
@@ -470,6 +554,12 @@ class BeamSearchTransducer:
                         h.dec_outs.append(pr)
                         h.pred_out = pr
                         h.state_idx = row
+                        if self.use_lm:
+                            # reference quirk (`:826-828`): the final
+                            # round assigns `lm_states` (a typo), so
+                            # lm_state stays STALE while lm_scores is
+                            # refreshed — reproduced for exact parity
+                            h.lm_scores = lm_vecs[i]
                     kept_hyps = sorted(list_b + list_exp,
                                        key=lambda x: x.score,
                                        reverse=True)[:beam]

@@ -137,7 +137,9 @@ def _ref_stub(shared):
                 dec_out, dec_state = self._step(toks, hyp.dec_state)
                 dec_out = dec_out[0]
                 cache[key] = (dec_out, dec_state)
-            return dec_out, dec_state, None
+            import torch as _t
+
+            return dec_out, dec_state, _t.tensor([hyp.yseq[-1]])
 
         def batch_score(self, hyps, dec_states, cache, use_lm):
             done = [None] * len(hyps)
@@ -158,7 +160,8 @@ def _ref_stub(shared):
                     cache[key] = (out[j], st)
             dec_out = torch.stack([d[0] for d in done])
             states = (torch.cat([d[1][0] for d in done], dim=1), None)
-            return dec_out, states, None
+            lm_tokens = torch.tensor([h.yseq[-1] for h in hyps])
+            return dec_out, states, lm_tokens
 
     def joint(enc, dec):
         return enc @ A + dec @ Bm
