@@ -20,6 +20,7 @@ import sys
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def get_args(argv=None):
@@ -37,6 +38,14 @@ def get_args(argv=None):
     p.add_argument("--seed", type=int, default=777)
     p.add_argument("--multichip", action="store_true",
                    help="shard batches over all local devices")
+    p.add_argument("--pp_stages", type=int, default=0,
+                   help="pipeline-parallel: shard the encoder block "
+                        "stack over this many devices (GPipe schedule, "
+                        "parallel/pp_encoder.py); grads are exact vs "
+                        "sequential. Dropout inside the pipelined "
+                        "blocks is disabled")
+    p.add_argument("--pp_microbatches", type=int, default=None,
+                   help="microbatches for --pp_stages (default = stages)")
     # multi-HOST launch (the torchrun/ssh_launcher equivalent,
     # `run-pipeline-v3.sh:129-150`, `tools/ssh_launcher.py`): run one
     # process per host with the same coordinator address; on a TPU pod
@@ -152,6 +161,25 @@ def main(argv=None):
                           rngs={"dropout": step_rng})
         metrics = {k: v for k, v in out.items() if k != "loss"}
         return out["loss"], metrics
+
+    if args.pp_stages:
+        from jax.sharding import Mesh
+
+        from paper_accurate_fast_cheap_tpu.parallel import pp_encoder
+
+        if jax.device_count() < args.pp_stages:
+            raise SystemExit(
+                f"--pp_stages {args.pp_stages} needs that many devices "
+                f"(have {jax.device_count()})")
+        pp_mesh = Mesh(np.array(jax.devices()[:args.pp_stages]),
+                       ("stage",))
+        enc_conf_pp = factory.encoder_conf_from_yaml(
+            config.get("encoder_conf", {}), input_dim)
+        loss_fn = pp_encoder.make_pp_loss_fn(
+            model, enc_conf_pp, pp_mesh,
+            n_microbatches=args.pp_microbatches)
+        logging.info("pipeline parallelism: %d stages over %s",
+                     args.pp_stages, pp_mesh.devices)
 
     step_fn = ts.make_train_step(
         loss_fn, optimizer,

@@ -74,6 +74,14 @@ class ASRModel(nn.Module):
         enc_kw = {} if cat_embs is None else {"cat_embs": cat_embs}
         enc, enc_lens = self.encoder(feats, feat_lens,
                                      deterministic=deterministic, **enc_kw)
+        return self.loss_from_encoder(enc, enc_lens, labels, label_lens,
+                                      deterministic=deterministic)
+
+    def loss_from_encoder(self, enc, enc_lens, labels, label_lens,
+                          deterministic: bool = True):
+        """Losses given encoder outputs — the post-encoder half of
+        ``__call__``; the pipeline-parallel trainer runs the encoder
+        blocks itself and enters here (`parallel/pp_encoder.py`)."""
         loss_ctc = jnp.asarray(0.0)
         if self.ctc_weight > 0.0:
             logits = self.ctc(enc, deterministic=deterministic)

@@ -100,7 +100,13 @@ class Transducer(nn.Module):
         enc_kw = {} if cat_embs is None else {"cat_embs": cat_embs}
         enc, enc_lens = self.encoder(feats, feat_lens,
                                      deterministic=deterministic, **enc_kw)
+        return self.loss_from_encoder(enc, enc_lens, labels, label_lens,
+                                      deterministic=deterministic)
 
+    def loss_from_encoder(self, enc, enc_lens, labels, label_lens,
+                          deterministic: bool = True):
+        """Combined loss given encoder outputs (see
+        `ASRModel.loss_from_encoder`; used by the pp trainer)."""
         # RNN-T branch
         ys_blank = common.add_blank(labels, label_lens, self.blank_id)
         pred_out = self.predictor_mod(ys_blank, deterministic=deterministic)

@@ -179,3 +179,29 @@ def test_train_bench_cli(tmp_path):
     assert rc == 0
     txt = out.read_text()
     assert "steps_per_sec" in txt and "audio_hours_per_compute_hour" in txt
+
+
+def test_train_cli_pipeline_parallel(workspace):
+    """`train.py --pp_stages 2`: the flagship block stack stage-sharded
+    with exact grads (parallel/pp_encoder.py; grad parity proven in
+    test_pp_train.py — this drives the CLI wiring end to end)."""
+    import yaml as _yaml
+
+    cfg = _yaml.safe_load((workspace / "train.yaml").read_text())
+    cfg["encoder_conf"]["num_blocks"] = 2
+    (workspace / "train_pp.yaml").write_text(_yaml.safe_dump(cfg))
+    from paper_accurate_fast_cheap_tpu.bin.train import main
+
+    model_dir = workspace / "exp_pp"
+    rc = main([
+        "--config", str(workspace / "train_pp.yaml"),
+        "--train_data", str(workspace / "shards.txt"),
+        "--data_type", "shard",
+        "--model_dir", str(model_dir),
+        "--num_epochs", "1",
+        "--pp_stages", "2",
+    ])
+    assert rc == 0
+    epochs = [p for p in model_dir.iterdir()
+              if p.name.startswith("epoch_") and p.is_dir()]
+    assert epochs
