@@ -172,6 +172,8 @@ class NGramLM:
             bo_ent = self.ngrams[k - 1].get(hist)
             bo = bo_ent[1] if bo_ent is not None else 0.0
             return bo + self._logp(hist[1:], w)
+        if not 0 <= w < self.vocab_size:
+            return self.unk_logp
         return float(self._uni[w])
 
     def score(self, state: tuple, token: Optional[int]
