@@ -168,4 +168,8 @@ class Model:
 
 
 def load_model(model_dir: str, checkpoint: Optional[str] = None) -> Model:
-    return Model.from_dir(model_dir, checkpoint)
+    """Accepts a local model dir, a registered hub name, or a direct
+    archive URL (`wenet/cli/model.py:load_model` + `cli/hub.py`)."""
+    from paper_accurate_fast_cheap_tpu import hub
+
+    return Model.from_dir(hub.resolve(model_dir), checkpoint)

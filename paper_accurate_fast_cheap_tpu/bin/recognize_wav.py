@@ -50,14 +50,20 @@ def get_args(argv=None):
 
 
 def window_batches(feats: np.ndarray, chunk: int, batch: int):
-    """(T, D) -> batches of (b, chunk, D) windows + valid lengths."""
+    """(T, D) -> batches of (batch, chunk, D) windows + valid lengths.
+
+    The LAST group is padded up to the full ``batch`` rows (length 0 —
+    masked everywhere downstream) so every iteration presents one static
+    shape to XLA: a ragged tail batch would trigger a full second
+    compile of the encoder + beam programs (minutes on first use).
+    ``group`` carries only the real window start offsets.
+    """
     T = feats.shape[0]
     starts = list(range(0, max(T, 1), chunk))
     for i in range(0, len(starts), batch):
         group = starts[i : i + batch]
-        b = len(group)
-        out = np.zeros((b, chunk, feats.shape[1]), np.float32)
-        lens = np.zeros((b,), np.int32)
+        out = np.zeros((batch, chunk, feats.shape[1]), np.float32)
+        lens = np.zeros((batch,), np.int32)
         for j, s in enumerate(group):
             n = min(chunk, T - s)
             out[j, :n] = feats[s : s + n]

@@ -171,6 +171,9 @@ def rnnt_beam_search(
     )
 
 
+_DEVICE_BEAM_CACHE: dict = {}
+
+
 def _top_k_iter(x: jax.Array, k: int):
     """Exact top-k over the last axis via k rounds of masked argmax.
 
@@ -299,7 +302,7 @@ def _rnnt_beam_search_device(
 
     jidx = jnp.arange(NK)
 
-    def step(carry, xs):
+    def step(lens_dev, carry, xs):
         enc_t, ctc_t, t = xs          # (B, De), (B, V), scalar
         active = t < lens_dev          # (B,)
 
@@ -412,8 +415,24 @@ def _rnnt_beam_search_device(
         jnp.moveaxis(ctc_probs, 1, 0),
         jnp.arange(T, dtype=jnp.int32),
     )
-    run = jax.jit(lambda c, x: jax.lax.scan(step, c, x)[0])
-    out = run(carry0, xs)
+    # the jitted scan is cached per (step fns, shapes): re-tracing the
+    # ~300-op body every call costs seconds — with long-form windowed
+    # decode calling this per window, the retrace would dominate
+    key = (id(predictor_step), id(joint_step), B, T, N,
+           ctc_probs.shape[-1], enc_out.shape[-1], blank_id,
+           round(log_tw, 8), round(log_cw, 8),
+           str(enc_out.dtype), str(ctc_probs.dtype))
+    cached = _DEVICE_BEAM_CACHE.get(key)
+    if cached is None:
+        run = jax.jit(lambda c, x, lens: jax.lax.scan(
+            lambda cc, xx: step(lens, cc, xx), c, x)[0])
+        # hold the step fns so their id()s stay valid for the cache key
+        _DEVICE_BEAM_CACHE[key] = (run, predictor_step, joint_step)
+        if len(_DEVICE_BEAM_CACHE) > 16:
+            _DEVICE_BEAM_CACHE.pop(next(iter(_DEVICE_BEAM_CACHE)))
+    else:
+        run = cached[0]
+    out = run(carry0, xs, lens_dev)
 
     hyps = np.asarray(out["hyps"])
     hyp_len = np.asarray(out["hyp_len"])

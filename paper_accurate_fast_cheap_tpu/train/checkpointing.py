@@ -51,15 +51,30 @@ def load_checkpoint(path: str, params_template: Any,
     """Restore params (and optimizer state when opt_template given).
     Returns (params, opt_state_or_None, info_dict)."""
     ckptr = ocp.StandardCheckpointer()
-    if opt_template is None:
-        # template-free restore tolerates checkpoints that also carry an
-        # optimizer tree (epoch snapshots) when only params are wanted
-        restored = ckptr.restore(_ckpt_dir(path))
-    else:
-        restored = ckptr.restore(
-            _ckpt_dir(path), {"model": params_template,
-                              "opt": opt_template}
-        )
+    try:
+        if opt_template is None:
+            # template-free restore tolerates checkpoints that also carry
+            # an optimizer tree (epoch snapshots) when only params wanted
+            restored = ckptr.restore(_ckpt_dir(path))
+        else:
+            restored = ckptr.restore(
+                _ckpt_dir(path), {"model": params_template,
+                                  "opt": opt_template}
+            )
+    except ValueError:
+        # cross-platform restore: the checkpoint's recorded shardings
+        # name devices of the SAVING platform (e.g. a CPU-trained
+        # snapshot loaded on TPU, or vice versa) — fall back to raw
+        # numpy restore, placement happens lazily on first use
+        import jax
+        import numpy as _np
+
+        tree_md = ckptr.metadata(_ckpt_dir(path)).item_metadata.tree
+        restore_args = jax.tree.map(
+            lambda m: ocp.ArrayRestoreArgs(restore_type=_np.ndarray)
+            if hasattr(m, "shape") else ocp.RestoreArgs(), tree_md)
+        restored = ocp.PyTreeCheckpointer().restore(
+            _ckpt_dir(path), restore_args=restore_args)
     info = {}
     if os.path.exists(path + ".yaml"):
         with open(path + ".yaml") as f:
