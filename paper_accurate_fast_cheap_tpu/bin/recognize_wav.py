@@ -46,6 +46,16 @@ def get_args(argv=None):
                    help="switch self-attention to LCA with this context")
     p.add_argument("--encoder_global_tokens", type=int, default=0)
     p.add_argument("--encoder_global_tokens_spacing", type=int, default=1)
+    p.add_argument("--seq_parallel", type=int, default=0,
+                   help="shard each window's TIME axis over this many "
+                        "devices (sequence-parallel encoder: halo'd ds4 "
+                        "frontend + sp WKV/conv; rwkv/mamba models "
+                        "only). chunk_size must divide by 4*N. The "
+                        "window is decoded as if zero-padded by the "
+                        "ds4 right context (6 frames) with unmasked "
+                        "full-length semantics — see "
+                        "tests/test_sequence_parallel.py for the "
+                        "exactness contract")
     return p.parse_args(argv)
 
 
@@ -135,7 +145,40 @@ def main(argv=None):
         init_state_fn = functools.partial(
             model.apply, params, method=model.predictor_init_state)
 
-    if cat_embs is not None:
+    if args.seq_parallel > 1:
+        if cat_embs is not None:
+            raise SystemExit("--seq_parallel with cat_embs not supported")
+        n = args.seq_parallel
+        if jax.device_count() < n:
+            raise SystemExit(f"--seq_parallel {n} needs {n} devices "
+                             f"(have {jax.device_count()})")
+        if args.chunk_size % (4 * n):
+            raise SystemExit(f"--chunk_size must divide by 4*{n}")
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        smesh = Mesh(np.array(jax.devices()[:n]), ("seq",))
+        sp_config = dict(config)
+        sp_enc = dict(sp_config.get("encoder_conf", {}))
+        sp_enc["rwkv_conf"] = dict(sp_enc.get("rwkv_conf") or {},
+                                   spmd_axis="seq")
+        sp_config["encoder_conf"] = sp_enc
+        from paper_accurate_fast_cheap_tpu.models import factory as _fac
+
+        sp_model, _ = _fac.init_model(sp_config, tokenizer.vocab_size(),
+                                      feats_np.shape[-1])
+
+        @functools.partial(jax.shard_map, mesh=smesh,
+                           in_specs=(P(), P(None, "seq"), P()),
+                           out_specs=(P(None, "seq"), P()),
+                           check_vma=False)
+        def _sp_fwd(p, f, l):
+            return sp_model.apply(p, f, l,
+                                  method=sp_model.forward_encoder)
+
+        fwd = jax.jit(lambda f, l: _sp_fwd(params, f, l))
+        logging.info("sequence-parallel decode: T sharded over %d "
+                     "devices", n)
+    elif cat_embs is not None:
         fwd = jax.jit(
             lambda f, l: model.apply(
                 params, f, l,

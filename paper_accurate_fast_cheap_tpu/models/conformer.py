@@ -309,10 +309,20 @@ class ConformerEncoder(nn.Module):
             # blocks` masks AFTER `_forward_subsampling`)
             out_lens = jnp.minimum(jnp.asarray(xs_lens), xs.shape[1])
         else:
-            sub = SUBSAMPLE_CLASSES[self.input_layer](
-                idim=self.input_size, odim=self.output_size,
-                dropout_rate=self.dropout_rate, name="embed",
-            )
+            sub_kw = dict(idim=self.input_size, odim=self.output_size,
+                          dropout_rate=self.dropout_rate, name="embed")
+            if rwkv_conf.get("spmd_axis"):
+                # sequence-parallel from RAW FEATURES: the ds4 frontend
+                # fetches its boundary via halo exchange so T can be
+                # sharded before subsampling (extension; reference runs
+                # full sequences on one device, `encoder.py:117-149`)
+                if self.input_layer != "conv2d":
+                    raise ValueError(
+                        "spmd_axis from raw features requires the "
+                        "conv2d (ds4) frontend; use pre_embedded=True "
+                        f"for input_layer={self.input_layer!r}")
+                sub_kw["spmd_axis"] = rwkv_conf["spmd_axis"]
+            sub = SUBSAMPLE_CLASSES[self.input_layer](**sub_kw)
             xs, out_lens = sub(xs, xs_lens, deterministic=deterministic)
             out_lens = jnp.minimum(out_lens, xs.shape[1])
         pos_cls = EMB_CLASSES[self.pos_enc_layer_type]

@@ -7,7 +7,7 @@ Conv2dSubsampling6/8.  Convs run in NHWC (TPU-native layout).
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -35,6 +35,14 @@ class Conv2dSubsampling4(nn.Module):
 
     Output time length: ((T - 1) // 2 - 1) // 2; frequency axis collapses
     into channels for the final Dense (odim * (((idim-1)//2-1)//2)).
+
+    ``spmd_axis`` (inside an enclosing `shard_map` with T sharded over
+    that mesh axis) computes the ds4 boundary with a 6-frame right halo
+    (`right_context`): global output j reads inputs [4j, 4j+6], and with
+    T_loc % 4 == 0 the halo'd VALID convs yield exactly T_loc/4 outputs
+    per shard, bit-matching the unsharded op on every frame that exists
+    globally (the final shard's tail frames past the global output
+    length read zero-halo and are masked by the returned lengths).
     """
 
     idim: int
@@ -42,10 +50,21 @@ class Conv2dSubsampling4(nn.Module):
     dropout_rate: float = 0.1
     subsampling_rate: int = 4
     right_context: int = 6
+    spmd_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, lengths, deterministic: bool = True):
-        # x: (B, T, idim) -> NHWC (B, T, idim, 1)
+        if self.spmd_axis:
+            from paper_accurate_fast_cheap_tpu.parallel.sequence import (
+                halo_exchange,
+            )
+
+            if x.shape[1] % 4:
+                raise ValueError(
+                    f"sequence-parallel ds4 needs the local window "
+                    f"({x.shape[1]}) divisible by 4")
+            t_out = x.shape[1] // 4
+            x = halo_exchange(x, self.spmd_axis, 0, self.right_context)
         y = x[..., None]
         y = nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID")(y)
         y = nn.relu(y)
@@ -53,6 +72,8 @@ class Conv2dSubsampling4(nn.Module):
         y = nn.relu(y)
         b, t, f, c = y.shape
         y = nn.Dense(self.odim)(y.reshape(b, t, f * c))
+        if self.spmd_axis:
+            y = y[:, :t_out]
         new_lengths = ((lengths - 1) // 2 - 1) // 2
         return y, jnp.maximum(new_lengths, 0)
 

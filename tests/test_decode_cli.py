@@ -368,3 +368,31 @@ def test_align_cli(trained, tmp_path):
     starts = [float(l.split()[2]) for l in lines]
     assert starts == sorted(starts) and starts[0] >= 0.0
     assert frames.read_text().startswith("utt1 ")
+
+
+def test_recognize_wav_seq_parallel(trained, tmp_path):
+    """`recognize_wav --seq_parallel 4`: T-sharded LF decode through the
+    CLI (halo'd ds4 + sp WKV) vs the single-device run on the same wav.
+    Contract (tests/test_sequence_parallel.py): each window is decoded
+    under +6-frame zero-pad full-length semantics; on this model the
+    hypotheses match the single-device CLI output."""
+    from paper_accurate_fast_cheap_tpu.bin.recognize_wav import main
+
+    workspace, model_dir = trained
+    rng = np.random.RandomState(9)
+    wav_path = tmp_path / "sp.wav"
+    wav_path.write_bytes(_wav_bytes(rng.randn(16000 * 4) * 0.05))
+    outs = {}
+    for tag, extra in (("base", []), ("sp", ["--seq_parallel", "4"])):
+        out_dir = tmp_path / f"lf_{tag}"
+        rc = main([
+            "--config", str(model_dir / "train.yaml"),
+            "--checkpoint", str(model_dir / "epoch_0000"),
+            "--wav", str(wav_path),
+            "--output_dir", str(out_dir),
+            "--mode", "ctc_greedy_search",
+            "--chunk_size", "160", "--batch_size", "2",
+        ] + extra)
+        assert rc == 0
+        outs[tag] = (out_dir / "sp.txt").read_text()
+    assert outs["sp"] == outs["base"], outs

@@ -365,3 +365,60 @@ def test_sp_mamba_attention_layer(seq_mesh):
     y = run(params, x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_sp_full_model_from_raw_features(seq_mesh):
+    """Sequence parallelism from RAW FEATURES (VERDICT r2 #3): the ds4
+    subsampling fetches its boundary via a 6-frame right halo, so the
+    whole encoder runs T-sharded with no pre-embedding step.
+
+    Exactness contract: sp(x over T frames) == unsharded encoder on x
+    zero-padded to T+6 with lens=T+6 (every shard's tail output reads
+    the same zero halo the padded unsharded conv reads; full-length
+    lens makes the bidirectional flip unmasked on both sides).
+    """
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from paper_accurate_fast_cheap_tpu.models.conformer import (
+        ConformerEncoder,
+    )
+
+    B, T, MELS, D = 2, 256, 23, 64
+
+    def make(spmd):
+        return ConformerEncoder(
+            input_size=MELS, output_size=D, attention_heads=4,
+            linear_units=96, num_blocks=2, dropout_rate=0.0,
+            positional_dropout_rate=0.0, cnn_module_kernel=15,
+            input_layer="conv2d",
+            selfattention_layer_type="rwkv_tmix60_bidirectional",
+            rwkv_conf={"rwkv_do_bfloat16": False, "wkv_chunk_size": 16,
+                       "spmd_axis": spmd},
+        )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, MELS))
+    lens = jnp.full((B,), T, jnp.int32)
+    params = make(None).init(jax.random.PRNGKey(1), x, lens)
+
+    # unsharded reference on the +6 zero-padded window, full-length lens
+    x_pad = jnp.pad(x, ((0, 0), (0, 6), (0, 0)))
+    y_ref, lens_ref = make(None).apply(
+        params, x_pad, jnp.full((B,), T + 6, jnp.int32))
+    assert y_ref.shape[1] == T // 4
+
+    enc_sp = make("seq")
+
+    @functools.partial(jax.shard_map, mesh=seq_mesh,
+                       in_specs=(P(), P(None, "seq")),
+                       out_specs=P(None, "seq"))
+    def run(p, xs):
+        ls = jnp.full((xs.shape[0],), xs.shape[1], jnp.int32)
+        y, _ = enc_sp.apply(p, xs, ls)
+        return y
+
+    y_sp = run(params, x)
+    assert y_sp.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_ref),
+                               rtol=3e-4, atol=3e-4)
