@@ -1,82 +1,122 @@
-"""Driver benchmark: encoder RTF on the flagship model (real TPU).
+"""Driver benchmark: LONG-FORM DECODE 1/RTF on the flagship model (TPU).
 
-Equivalent of `wenet/bin/encoder-rtf.py:285-555`: encoder + CTC log-probs
-over long windows, warmup then timed runs; reports audio-hours decoded per
-wall-second per chip (= 1/RTF / 3600 * 3600 ... i.e. hours-of-audio per
-second).  BASELINE.md north-star: >= 100x real-time per v5e chip, so
-vs_baseline = (1/RTF) / 100.
+BASELINE.md's north-star metric is end-to-end long-form decode
+audio-hours/sec/chip (>=100x realtime per chip), i.e. the product path of
+`wenet/bin/recognize_wav2.py:323-351,435-466`: window the audio, run the
+encoder full-context per window, and the `rnnt_beam_search` prefix beam
+(beam 8, ctc 0.3 / transducer 0.7) over every frame.  This bench runs
+exactly that compute (windows -> encoder -> CTC log-probs -> on-device
+beam scan, `decode/rnnt_search.py`) on the flagship
+conformer12x512-rwkv6-bidirectional transducer at the 9000-frame (90 s)
+window point of the paper's LF sweep (`go-LF-dev-one-model-paper.sh:
+91-121`), with a blank-dominant joint so emission rates are
+speech-realistic (~3 tokens/s) rather than the degenerate ~25/s of a
+random-init model.
+
+vs_baseline = (1/RTF) / 100 (the >=100x north-star).  The encoder-only
+number (7695x in round 2) lives in BENCH_SWEEP.md.
 
 Prints exactly one JSON line.
 """
+import functools
 import json
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def main():
     from __graft_entry__ import FLAGSHIP_ENCODER, VOCAB
 
-    import flax.linen as nn
+    from paper_accurate_fast_cheap_tpu.decode import rnnt_search
+    from paper_accurate_fast_cheap_tpu.models import factory
 
-    from paper_accurate_fast_cheap_tpu.models.conformer import (
-        ConformerEncoder,
-    )
-    from paper_accurate_fast_cheap_tpu.models.ctc_head import CTCHead
+    config = {
+        "model": "transducer",
+        "encoder": "conformer",
+        "encoder_conf": {k: v for k, v in FLAGSHIP_ENCODER.items()
+                         if k != "input_size"},
+        "predictor": "rnn",
+        "predictor_conf": {"embed_size": 640, "output_size": 640,
+                           "embed_dropout": 0.1, "hidden_size": 640,
+                           "num_layers": 2, "dropout": 0.1},
+        "joint_conf": {"join_dim": 640},
+        "decoder": None,
+        "model_conf": {"ctc_weight": 0.3, "transducer_weight": 0.7,
+                       "attention_weight": 0.0},
+    }
+    model, _ = factory.init_model(config, VOCAB, 80)
 
-    class EncoderCTC(nn.Module):
-        @nn.compact
-        def __call__(self, feats, lens):
-            enc, out_lens = ConformerEncoder(
-                **FLAGSHIP_ENCODER, name="encoder"
-            )(feats, lens)
-            return jax.nn.log_softmax(
-                CTCHead(vocab_size=VOCAB, name="ctc")(enc), axis=-1
-            ), out_lens
-
-    # LF-decode shape: batch of 9000-frame (90 s) windows, bf16 activations
-    # (batch 8 saturates the chip; the reference LF harness sweeps 1-14)
-    B, T = 8, 9000
-    model = EncoderCTC()
-    feats32 = jax.random.normal(jax.random.PRNGKey(0), (B, T, 80))
-    feats = feats32.astype(jnp.bfloat16)
+    # LF operating point: batch of 90 s windows, beam 8 (paper protocol)
+    B, T, BEAM = 8, 9000, 8
+    feats = jax.random.normal(jax.random.PRNGKey(0), (B, T, 80)
+                              ).astype(jnp.bfloat16)
     lens = jnp.full((B,), T, jnp.int32)
-    params = model.init(jax.random.PRNGKey(1), feats[:1, :256], lens[:1])
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
-                          if x.dtype == jnp.float32 else x, params)
+    params = model.init(jax.random.PRNGKey(1), feats[:1, :256].astype(
+        jnp.float32), lens[:1], jnp.ones((1, 4), jnp.int32),
+        jnp.asarray([4]))
+    # blank-dominant output heads => realistic emission rate
+    p = params["params"]
+    p["joint"]["ffn_out"]["bias"] = (
+        p["joint"]["ffn_out"]["bias"].at[0].add(9.0))
+    p["ctc"]["ctc_lo"]["bias"] = (
+        p["ctc"]["ctc_lo"]["bias"].at[0].add(9.0))
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params)
 
-    import numpy as np
+    @jax.jit
+    def enc_ctc(prm, f, l):
+        enc, el = model.apply(prm, f, l, method=model.forward_encoder)
+        return enc, model.apply(prm, enc, method=model.ctc_logprobs), el
 
-    fwd = jax.jit(lambda p, f, l: model.apply(p, f, l))
-    # warmup / compile.  NOTE: through the remote-TPU relay,
-    # block_until_ready returns early on the first post-compile call, so the
-    # warmup must force a host transfer to be sure execution finished.
-    for _ in range(2):
-        out = fwd(params, feats, lens)
-        float(np.asarray(out[0][0, 0, 0]))
+    predictor_step = jax.jit(
+        lambda tok, st: model.apply(params, tok, st,
+                                    method=model.predictor_step))
+    joint_step = jax.jit(
+        lambda e, pr: model.apply(params, e, pr, method=model.joint_step))
+    init_state_fn = functools.partial(model.apply, params,
+                                      method=model.predictor_init_state)
 
-    iters = 10
+    def run():
+        enc, logp, el = enc_ctc(params, feats, lens)
+        return rnnt_search.rnnt_beam_search(
+            predictor_step, joint_step, init_state_fn, enc, el, logp,
+            beam_size=BEAM, ctc_weight=0.3, transducer_weight=0.7,
+            impl="device")
+
+    # warmup/compile (through the remote-TPU relay the first
+    # block_until_ready can return early; the beam's host reads inside
+    # run() already force real completion)
+    t0 = time.perf_counter()
+    res = run()
+    compile_s = time.perf_counter() - t0
+
+    iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fwd(params, feats, lens)
-    # single dependent host read drains the full device queue
-    float(np.asarray(out[0][0, 0, 0]))
+        res = run()
     elapsed = time.perf_counter() - t0
 
-    audio_seconds = iters * B * T * 0.01  # 100 frames/s
+    n_tok = float(np.mean([len(r.tokens) for r in res]))
+    audio_seconds = iters * B * T * 0.01
     inv_rtf = audio_seconds / elapsed
-    hours_per_sec = inv_rtf / 3600.0
     print(json.dumps({
-        "metric": "encoder_1_over_rtf",
+        "metric": "lf_decode_1_over_rtf",
         "value": round(inv_rtf, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(inv_rtf / 100.0, 3),
         "detail": {
-            "audio_hours_per_sec": round(hours_per_sec, 4),
-            "batch": B, "chunk_frames": T, "iters": iters,
-            "elapsed_s": round(elapsed, 3),
-            "model": "conformer12x512-rwkv6-bidirectional",
+            "audio_hours_per_sec": round(inv_rtf / 3600.0, 4),
+            "batch": B, "window_frames": T, "beam": BEAM,
+            "iters": iters, "elapsed_s": round(elapsed, 3),
+            "mean_tokens_per_window": round(n_tok, 1),
+            "compile_s": round(compile_s, 1),
+            "mode": "rnnt_beam_search ctc0.3/tw0.7 (recognize_wav path)",
+            "model": "conformer12x512-rwkv6-bidirectional transducer",
+            "encoder_only_round2": "7695x (BENCH_SWEEP.md)",
             "device": str(jax.devices()[0]),
         },
     }))

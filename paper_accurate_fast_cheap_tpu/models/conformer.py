@@ -354,15 +354,14 @@ class ConformerEncoder(nn.Module):
                     }
                     layer_states = [{"attn": dict(zero), "conv": None}
                                     for _ in range(self.num_blocks)]
-                # key positions offset-Tc .. offset+T (zeros for t < 0)
-                table = jnp.asarray(emb_mod.sinusoid_table(
-                    EMB_CLASSES[self.pos_enc_layer_type].max_len
-                    if hasattr(EMB_CLASSES[self.pos_enc_layer_type],
-                               "max_len") else 100000, d))
-                table = jnp.concatenate(
-                    [jnp.zeros((Tc, d), table.dtype), table], axis=0)
-                pos_emb = jax.lax.dynamic_slice_in_dim(
-                    table, offset, Tc + T_chunk, axis=0)[None]
+                # key positions offset-Tc .. offset+T (zeros for t < 0);
+                # computed on device — an embedded 100k-row table
+                # constant blows the remote compile size limit
+                pos_ids = offset - Tc + jnp.arange(Tc + T_chunk)
+                pe = emb_mod.sinusoid_positions(offset - Tc,
+                                                Tc + T_chunk, d)
+                pos_emb = jnp.where((pos_ids < 0)[:, None], 0.0,
+                                    pe)[None]
             for i in range(self.num_blocks):
                 attn = _make_attention(
                     self.selfattention_layer_type, self.attention_heads,

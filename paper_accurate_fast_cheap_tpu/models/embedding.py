@@ -3,8 +3,9 @@
 Parity targets: `wenet/transformer/embedding.py` — PositionalEncoding
 (`:25-118`, offset-aware, x * sqrt(d)), RelPositionalEncoding (`:120-147`,
 returns the sinusoid table alongside the scaled input), NoPositionalEncoding
-(`:279-299`).  Tables are precomputed host-side and closed over as constants
-so the whole embedding is a single XLA fusion.
+(`:279-299`).  Sinusoid rows are computed on device (`sinusoid_positions`)
+— embedding the 100k-row table as an HLO constant added ~205 MB to every
+encoder program and tripped the remote compile service's size limit.
 """
 from __future__ import annotations
 
@@ -29,6 +30,27 @@ def sinusoid_table(max_len: int, d_model: int) -> np.ndarray:
     return pe.astype(np.float32)
 
 
+def sinusoid_positions(offset, T: int, d_model: int) -> jax.Array:
+    """Rows [offset, offset+T) of the sinusoid table, computed ON DEVICE.
+
+    Embedding the full (max_len=100000, d) numpy table as an HLO
+    constant put ~205 MB into every encoder program — the remote compile
+    service rejects such programs (HTTP 413) at long-form window sizes.
+    f32 compute matches the torch reference, which builds its table in
+    f32 (`wenet/transformer/embedding.py`); ``offset`` may be traced
+    (the streaming chunk path) or a static int.
+    """
+    pos = (jnp.asarray(offset, jnp.float32)
+           + jnp.arange(T, dtype=jnp.float32))[:, None]
+    div = jnp.exp(jnp.arange(0, d_model, 2, dtype=jnp.float32)
+                  * -(np.log(10000.0) / d_model))
+    ang = pos * div[None, :]
+    pe = jnp.zeros((T, d_model), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(ang))
+    pe = pe.at[:, 1::2].set(jnp.cos(ang))
+    return pe
+
+
 class PositionalEncoding(nn.Module):
     """Absolute sinusoidal encoding: returns (x * sqrt(d) + PE, PE).
 
@@ -41,8 +63,7 @@ class PositionalEncoding(nn.Module):
     @nn.compact
     def __call__(self, x, offset=0, deterministic: bool = True):
         T = x.shape[1]
-        pe = jnp.asarray(sinusoid_table(self.max_len, self.d_model))
-        pos = jax.lax.dynamic_slice_in_dim(pe, offset, T, axis=0)[None]
+        pos = sinusoid_positions(offset, T, self.d_model)[None]
         y = x * jnp.sqrt(jnp.asarray(self.d_model, x.dtype)) + pos
         y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
         pos = nn.Dropout(self.dropout_rate)(pos, deterministic=deterministic)
@@ -59,8 +80,7 @@ class RelPositionalEncoding(nn.Module):
     @nn.compact
     def __call__(self, x, offset=0, deterministic: bool = True):
         T = x.shape[1]
-        pe = jnp.asarray(sinusoid_table(self.max_len, self.d_model))
-        pos = jax.lax.dynamic_slice_in_dim(pe, offset, T, axis=0)[None]
+        pos = sinusoid_positions(offset, T, self.d_model)[None]
         y = x * jnp.sqrt(jnp.asarray(self.d_model, x.dtype))
         y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
         pos = nn.Dropout(self.dropout_rate)(pos, deterministic=deterministic)
