@@ -72,20 +72,15 @@ def main():
         enc, el = model.apply(prm, f, l, method=model.forward_encoder)
         return enc, model.apply(prm, enc, method=model.ctc_logprobs), el
 
-    predictor_step = jax.jit(
-        lambda tok, st: model.apply(params, tok, st,
-                                    method=model.predictor_step))
-    joint_step = jax.jit(
-        lambda e, pr: model.apply(params, e, pr, method=model.joint_step))
-    init_state_fn = functools.partial(model.apply, params,
-                                      method=model.predictor_init_state)
+    predictor_step, joint_step, init_state_fn = \
+        rnnt_search.make_transducer_step_fns(model, params)
 
     def run():
         enc, logp, el = enc_ctc(params, feats, lens)
         return rnnt_search.rnnt_beam_search(
             predictor_step, joint_step, init_state_fn, enc, el, logp,
             beam_size=BEAM, ctc_weight=0.3, transducer_weight=0.7,
-            impl="device")
+            impl="device", params=params)
 
     # warmup/compile (through the remote-TPU relay the first
     # block_until_ready can return early; the beam's host reads inside

@@ -88,17 +88,11 @@ class Model:
                                                 beam_size=beam_size)
         elif mode == "rnnt_beam_search":
             assert self.model_type == "transducer"
-            m, p = self.model, self.params
-            predictor_step = jax.jit(
-                lambda tok, st: m.apply(p, tok, st,
-                                        method=m.predictor_step))
-            joint_step = jax.jit(
-                lambda e, pr: m.apply(p, e, pr, method=m.joint_step))
-            init_state_fn = functools.partial(
-                m.apply, p, method=m.predictor_init_state)
+            predictor_step, joint_step, init_state_fn = \
+                rnnt_search.make_transducer_step_fns(self.model, self.params)
             res = rnnt_search.rnnt_beam_search(
                 predictor_step, joint_step, init_state_fn, enc, enc_lens,
-                logp, beam_size=beam_size)
+                logp, beam_size=beam_size, params=self.params)
         else:
             raise ValueError(f"unknown mode {mode!r}")
         return [self.tokenizer.detokenize(r.tokens)[0] for r in res]
@@ -143,17 +137,11 @@ class Model:
                                                 beam_size=beam_size)[0]
         elif mode == "rnnt_beam_search":
             assert self.model_type == "transducer"
-            m, p = self.model, self.params
-            predictor_step = jax.jit(
-                lambda tok, st: m.apply(p, tok, st,
-                                        method=m.predictor_step))
-            joint_step = jax.jit(
-                lambda e, pr: m.apply(p, e, pr, method=m.joint_step))
-            init_state_fn = functools.partial(
-                m.apply, p, method=m.predictor_init_state)
+            predictor_step, joint_step, init_state_fn = \
+                rnnt_search.make_transducer_step_fns(self.model, self.params)
             res = rnnt_search.rnnt_beam_search(
                 predictor_step, joint_step, init_state_fn, enc, enc_lens,
-                logp, beam_size=beam_size)[0]
+                logp, beam_size=beam_size, params=self.params)[0]
         else:
             raise ValueError(f"unknown mode {mode!r}")
 

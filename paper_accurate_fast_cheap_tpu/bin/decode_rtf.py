@@ -85,13 +85,8 @@ def main(argv=None):
         return enc, model.apply(p, enc, method=model.ctc_logprobs), enc_lens
 
     # steps jitted ONCE (fresh closures per call would recompile every iter)
-    m, p_ = model, params
-    predictor_step = jax.jit(
-        lambda tok, st: m.apply(p_, tok, st, method=m.predictor_step))
-    joint_step = jax.jit(
-        lambda e, pr: m.apply(p_, e, pr, method=m.joint_step))
-    init_state_fn = functools.partial(m.apply, p_,
-                                      method=m.predictor_init_state)
+    predictor_step, joint_step, init_state_fn = \
+        rnnt_search.make_transducer_step_fns(model, params)
 
     def run():
         enc, logp, enc_lens = enc_ctc(params, feats, lens)
@@ -103,7 +98,8 @@ def main(argv=None):
                 predictor_step, joint_step, init_state_fn, enc, enc_lens,
                 logp, beam_size=args.beam_size,
                 ctc_weight=args.ctc_weight,
-                transducer_weight=args.transducer_weight, impl="device")
+                transducer_weight=args.transducer_weight, impl="device",
+                params=params)
         return res
 
     compile_t0 = time.perf_counter()

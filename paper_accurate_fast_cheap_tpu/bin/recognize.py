@@ -121,19 +121,14 @@ def decode_batch(model, model_type, params, feats, feat_lens, args, sos,
         elif mode == "rnnt_beam_search":
             assert model_type == "transducer", \
                 "rnnt_beam_search needs a transducer model"
-            predictor_step = jax.jit(
-                lambda tok, st: model.apply(params, tok, st,
-                                            method=model.predictor_step))
-            joint_step = jax.jit(
-                lambda e, pr: model.apply(params, e, pr,
-                                          method=model.joint_step))
-            init_state_fn = functools.partial(
-                model.apply, params, method=model.predictor_init_state)
+            predictor_step, joint_step, init_state_fn = \
+                rnnt_search.make_transducer_step_fns(model, params)
             results[mode] = rnnt_search.rnnt_beam_search(
                 predictor_step, joint_step, init_state_fn, enc, enc_lens,
                 logp, beam_size=args.beam_size,
                 ctc_weight=args.ctc_weight,
                 transducer_weight=args.transducer_weight,
+                params=params,
             )
     return results
 

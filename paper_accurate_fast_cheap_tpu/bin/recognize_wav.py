@@ -92,6 +92,7 @@ def main(argv=None):
     )
     from paper_accurate_fast_cheap_tpu.decode import rnnt_search, search
     from paper_accurate_fast_cheap_tpu.ops import ctc_utils
+    from paper_accurate_fast_cheap_tpu.utils import jitting
     from paper_accurate_fast_cheap_tpu.utils.config import load_config
 
     config = load_config(args.config)
@@ -136,14 +137,8 @@ def main(argv=None):
     subsample = 4  # conv2d ds4; frame rate after encoder = 0.04 s
 
     if model_type == "transducer" and args.mode == "rnnt_beam_search":
-        predictor_step = jax.jit(
-            lambda tok, st: model.apply(params, tok, st,
-                                        method=model.predictor_step))
-        joint_step = jax.jit(
-            lambda e, pr: model.apply(params, e, pr,
-                                      method=model.joint_step))
-        init_state_fn = functools.partial(
-            model.apply, params, method=model.predictor_init_state)
+        predictor_step, joint_step, init_state_fn = \
+            rnnt_search.make_transducer_step_fns(model, params)
 
     if args.seq_parallel > 1:
         if cat_embs is not None:
@@ -175,22 +170,27 @@ def main(argv=None):
             return sp_model.apply(p, f, l,
                                   method=sp_model.forward_encoder)
 
-        fwd = jax.jit(lambda f, l: _sp_fwd(params, f, l))
+        from jax.sharding import NamedSharding
+
+        # params ride as program inputs: commit them replicated over the
+        # sp mesh (a single-device arg is incompatible with the mesh jit);
+        # downstream consumers (ctc head, beam) see the sharded encoder
+        # output, so they need the replicated copy too
+        params = jax.device_put(params, NamedSharding(smesh, P()))
+        fwd = functools.partial(jax.jit(_sp_fwd), params)
         logging.info("sequence-parallel decode: T sharded over %d "
                      "devices", n)
     elif cat_embs is not None:
-        fwd = jax.jit(
-            lambda f, l: model.apply(
-                params, f, l,
+        fwd = functools.partial(jax.jit(
+            lambda p, f, l: model.apply(
+                p, f, l,
                 cat_embs=jnp.broadcast_to(cat_embs,
                                           (f.shape[0], cat_embs.shape[1])),
-                method=model.forward_encoder))
+                method=model.forward_encoder)), params)
     else:
-        fwd = jax.jit(
-            lambda f, l: model.apply(params, f, l,
-                                     method=model.forward_encoder))
-    ctc_fn = jax.jit(
-        lambda e: model.apply(params, e, method=model.ctc_logprobs))
+        fwd = jitting.jit_apply(model, params,
+                                method=model.forward_encoder)
+    ctc_fn = jitting.jit_apply(model, params, method=model.ctc_logprobs)
 
     ctm_lines = []
     all_text = []
@@ -211,6 +211,7 @@ def main(argv=None):
                 logp, beam_size=args.beam_size,
                 ctc_weight=args.ctc_weight,
                 transducer_weight=args.transducer_weight,
+                params=params,
             )
         for start_frame, r, b in zip(group, res, range(len(res))):
             if not r.tokens:

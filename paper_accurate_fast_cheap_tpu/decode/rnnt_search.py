@@ -16,13 +16,55 @@ function; only the O(beam) bookkeeping runs on host.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List
+import functools
+from typing import Any, Callable, List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from paper_accurate_fast_cheap_tpu.decode.search import DecodeResult
+
+
+_STEP_FNS_CACHE: dict = {}
+
+
+def make_transducer_step_fns(model, params):
+    """Build (predictor_step, joint_step, init_state_fn) for the searches.
+
+    The step fns take ``params`` as their FIRST (traced) argument and the
+    searches here are called with ``params=params`` so the weights ride as
+    program *inputs*.  Closing over a flax param dict instead serializes
+    every weight into the lowered HLO as dense literals — a ~400 MB
+    program for the flagship at long-form shapes, which breaks remote
+    compilation outright (and bloats compile time everywhere else).
+    """
+    key = (id(model), id(params))
+    hit = _STEP_FNS_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    predictor_step = jax.jit(lambda p, tok, st: model.apply(
+        p, tok, st, method=model.predictor_step))
+    joint_step = jax.jit(lambda p, e, pr: model.apply(
+        p, e, pr, method=model.joint_step))
+    init_state_fn = functools.partial(model.apply, params,
+                                      method=model.predictor_init_state)
+    fns = (predictor_step, joint_step, init_state_fn)
+    # keep (model, params) alive so the id-key stays valid; per-batch
+    # callers (bin/recognize.decode_batch) rely on stable fn identities
+    # for the device-beam program cache
+    _STEP_FNS_CACHE[key] = (fns, model, params)
+    if len(_STEP_FNS_CACHE) > 8:
+        _STEP_FNS_CACHE.pop(next(iter(_STEP_FNS_CACHE)))
+    return fns
+
+
+def _bind_steps(predictor_step, joint_step, params):
+    """Normalize legacy (params-closed) step fns to the (params, ...) form."""
+    if params is None:
+        return (lambda _p, tok, st: predictor_step(tok, st),
+                lambda _p, e, pr: joint_step(e, pr))
+    return predictor_step, joint_step
 
 
 def basic_greedy_search(
@@ -33,13 +75,19 @@ def basic_greedy_search(
     enc_lens: jax.Array,
     blank_id: int = 0,
     n_steps: int = 1,
+    params: Any = None,
 ) -> List[DecodeResult]:
     """Frame-sync greedy, up to ``n_steps`` symbols per frame (the
     reference's `basic_greedy_search` n_steps arg), fully jitted scan.
-    The inner emission loop is unrolled n_steps times per frame."""
+    The inner emission loop is unrolled n_steps times per frame.
+
+    With ``params`` given, the step fns take params first (see
+    `make_transducer_step_fns`) and the weights stay program inputs."""
     if n_steps > 1:
         return _greedy_multi(predictor_step, joint_step, init_state,
-                             enc_out, enc_lens, blank_id, n_steps)
+                             enc_out, enc_lens, blank_id, n_steps, params)
+    predictor_step, joint_step = _bind_steps(predictor_step, joint_step,
+                                             params)
     B, T, _ = enc_out.shape
 
     def select(emitted, new, old):
@@ -53,14 +101,14 @@ def basic_greedy_search(
             e = emitted
         return jnp.where(e, new, old)
 
-    def step(carry, enc_t):
+    def step(prms, carry, enc_t):
         tokens, state, pred_out = carry
-        logp = joint_step(enc_t, pred_out)
+        logp = joint_step(prms, enc_t, pred_out)
         best = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         emitted = best != blank_id
         new_tokens = jnp.where(emitted, best, tokens)
         # advance predictor only where a symbol was emitted
-        cand_out, cand_state = predictor_step(new_tokens, state)
+        cand_out, cand_state = predictor_step(prms, new_tokens, state)
         pred_out2 = jnp.where(emitted[:, None], cand_out, pred_out)
         state2 = jax.tree.map(
             lambda new, old: select(emitted, new, old), cand_state, state,
@@ -68,9 +116,11 @@ def basic_greedy_search(
         return (new_tokens, state2, pred_out2), best
 
     tokens0 = jnp.full((B,), blank_id, jnp.int32)
-    pred0, state0 = predictor_step(tokens0, init_state)
-    (_, _, _), emits = jax.lax.scan(
-        step, (tokens0, init_state, pred0), jnp.moveaxis(enc_out, 1, 0)
+    pred0, state0 = predictor_step(params, tokens0, init_state)
+    run = jax.jit(lambda prms, c, x: jax.lax.scan(
+        lambda cc, xx: step(prms, cc, xx), c, x))
+    (_, _, _), emits = run(
+        params, (tokens0, init_state, pred0), jnp.moveaxis(enc_out, 1, 0)
     )
     emits = np.asarray(jnp.moveaxis(emits, 0, 1))  # (B, T)
     lens = np.asarray(enc_lens)
@@ -82,8 +132,10 @@ def basic_greedy_search(
 
 
 def _greedy_multi(predictor_step, joint_step, init_state, enc_out,
-                  enc_lens, blank_id, n_steps):
+                  enc_lens, blank_id, n_steps, params=None):
     """Greedy with up to n_steps emissions per frame (unrolled inner loop)."""
+    predictor_step, joint_step = _bind_steps(predictor_step, joint_step,
+                                             params)
     B, T, _ = enc_out.shape
 
     def select(emitted, new, old):
@@ -95,18 +147,18 @@ def _greedy_multi(predictor_step, joint_step, init_state, enc_out,
             e = emitted
         return jnp.where(e, new, old)
 
-    def step(carry, enc_t):
+    def step(prms, carry, enc_t):
         tokens, state, pred_out = carry
         emits = []
         active = jnp.ones((B,), bool)  # emitting stops at first blank
         for _ in range(n_steps):
-            logp = joint_step(enc_t, pred_out)
+            logp = joint_step(prms, enc_t, pred_out)
             best = jnp.argmax(logp, axis=-1).astype(jnp.int32)
             emitted = (best != blank_id) & active
             active = emitted
             out_tok = jnp.where(emitted, best, blank_id)
             new_tokens = jnp.where(emitted, best, tokens)
-            cand_out, cand_state = predictor_step(new_tokens, state)
+            cand_out, cand_state = predictor_step(prms, new_tokens, state)
             pred_out = jnp.where(emitted[:, None], cand_out, pred_out)
             state = jax.tree.map(
                 lambda new, old: select(emitted, new, old), cand_state,
@@ -117,9 +169,11 @@ def _greedy_multi(predictor_step, joint_step, init_state, enc_out,
         return (tokens, state, pred_out), jnp.stack(emits, axis=-1)
 
     tokens0 = jnp.full((B,), blank_id, jnp.int32)
-    pred0, _ = predictor_step(tokens0, init_state)
-    _, emits = jax.lax.scan(
-        step, (tokens0, init_state, pred0), jnp.moveaxis(enc_out, 1, 0)
+    pred0, _ = predictor_step(params, tokens0, init_state)
+    run = jax.jit(lambda prms, c, x: jax.lax.scan(
+        lambda cc, xx: step(prms, cc, xx), c, x))
+    _, emits = run(
+        params, (tokens0, init_state, pred0), jnp.moveaxis(enc_out, 1, 0)
     )
     emits = np.asarray(jnp.moveaxis(emits, 0, 1))  # (B, T, n_steps)
     lens = np.asarray(enc_lens)
@@ -148,6 +202,7 @@ def rnnt_beam_search(
     ctc_weight: float = 0.3,
     transducer_weight: float = 0.7,
     impl: str = "device",
+    params: Any = None,
 ) -> List[DecodeResult]:
     """Batched prefix beam search with CTC shallow fusion.
 
@@ -159,15 +214,21 @@ def rnnt_beam_search(
     descending score order, duplicate prefixes log-add into the earlier
     occurrence, and the walk stops once `beam_size` distinct prefixes exist
     (later duplicates are dropped, not merged).
+
+    With ``params`` given, the step fns must take params as their first
+    argument (`make_transducer_step_fns`) and the weights are threaded
+    through the scan as program inputs instead of baked HLO literals.
     """
     if impl == "device":
         return _rnnt_beam_search_device(
             predictor_step, joint_step, init_state_fn, enc_out, enc_lens,
             ctc_probs, beam_size, blank_id, ctc_weight, transducer_weight,
+            params,
         )
     return _rnnt_beam_search_host(
         predictor_step, joint_step, init_state_fn, enc_out, enc_lens,
         ctc_probs, beam_size, blank_id, ctc_weight, transducer_weight,
+        params,
     )
 
 
@@ -261,6 +322,7 @@ def _gather_state(state, sel):
 def _rnnt_beam_search_device(
     predictor_step, joint_step, init_state_fn, enc_out, enc_lens,
     ctc_probs, beam_size, blank_id, ctc_weight, transducer_weight,
+    params=None,
 ) -> List[DecodeResult]:
     """Fully on-device prefix beam search (one jitted scan over frames).
 
@@ -282,12 +344,17 @@ def _rnnt_beam_search_device(
               if transducer_weight > 0 else -np.inf)
     log_cw = float(np.log(ctc_weight)) if ctc_weight > 0 else -np.inf
     lens_dev = jnp.asarray(enc_lens, jnp.int32)
+    # cache identity must come from the CALLER's fns: _bind_steps makes
+    # fresh wrappers per call in the legacy (params-closed) form
+    orig_steps = (predictor_step, joint_step)
+    predictor_step, joint_step = _bind_steps(predictor_step, joint_step,
+                                             params)
 
     state_init = init_state_fn(B * N)
     tok0 = jnp.full((B * N,), blank_id, jnp.int32)
     # carry holds the state AFTER consuming each beam's last token (here the
     # leading blank), so emissions step the predictor from the right state
-    pred0, state0 = predictor_step(tok0, state_init)
+    pred0, state0 = predictor_step(params, tok0, state_init)
 
     carry0 = dict(
         hyps=jnp.zeros((B, N, L), jnp.int32),
@@ -302,12 +369,12 @@ def _rnnt_beam_search_device(
 
     jidx = jnp.arange(NK)
 
-    def step(lens_dev, carry, xs):
+    def step(prms, lens_dev, carry, xs):
         enc_t, ctc_t, t = xs          # (B, De), (B, V), scalar
         active = t < lens_dev          # (B,)
 
         enc_rep = jnp.repeat(enc_t, N, axis=0)          # (B*N, De)
-        logp = joint_step(enc_rep, carry["pred_out"])   # (B*N, V)
+        logp = joint_step(prms, enc_rep, carry["pred_out"])  # (B*N, V)
         fused = jnp.logaddexp(
             log_tw + logp, log_cw + jnp.repeat(ctc_t, N, axis=0)
         ).reshape(B, N, -1)
@@ -385,7 +452,8 @@ def _rnnt_beam_search_device(
         adv_flat = n_adv.reshape(-1)
         state_g = _gather_state(carry["state"], sel)
         pred_g = jnp.take(carry["pred_out"], sel, axis=0)
-        cand_out, cand_state = predictor_step(new_last.reshape(-1), state_g)
+        cand_out, cand_state = predictor_step(prms, new_last.reshape(-1),
+                                              state_g)
         pred_new = jnp.where(adv_flat[:, None], cand_out, pred_g)
         state_new = jax.tree.map(
             lambda nw, od: _select_rows(adv_flat, nw, od),
@@ -418,21 +486,21 @@ def _rnnt_beam_search_device(
     # the jitted scan is cached per (step fns, shapes): re-tracing the
     # ~300-op body every call costs seconds — with long-form windowed
     # decode calling this per window, the retrace would dominate
-    key = (id(predictor_step), id(joint_step), B, T, N,
+    key = (id(orig_steps[0]), id(orig_steps[1]), params is None, B, T, N,
            ctc_probs.shape[-1], enc_out.shape[-1], blank_id,
            round(log_tw, 8), round(log_cw, 8),
            str(enc_out.dtype), str(ctc_probs.dtype))
     cached = _DEVICE_BEAM_CACHE.get(key)
     if cached is None:
-        run = jax.jit(lambda c, x, lens: jax.lax.scan(
-            lambda cc, xx: step(lens, cc, xx), c, x)[0])
+        run = jax.jit(lambda prms, c, x, lens: jax.lax.scan(
+            lambda cc, xx: step(prms, lens, cc, xx), c, x)[0])
         # hold the step fns so their id()s stay valid for the cache key
-        _DEVICE_BEAM_CACHE[key] = (run, predictor_step, joint_step)
+        _DEVICE_BEAM_CACHE[key] = (run, orig_steps)
         if len(_DEVICE_BEAM_CACHE) > 16:
             _DEVICE_BEAM_CACHE.pop(next(iter(_DEVICE_BEAM_CACHE)))
     else:
         run = cached[0]
-    out = run(carry0, xs, lens_dev)
+    out = run(params, carry0, xs, lens_dev)
 
     hyps = np.asarray(out["hyps"])
     hyp_len = np.asarray(out["hyp_len"])
@@ -464,22 +532,25 @@ def _rnnt_beam_search_host(
     blank_id: int = 0,
     ctc_weight: float = 0.3,
     transducer_weight: float = 0.7,
+    params=None,
 ) -> List[DecodeResult]:
     """Host-loop prefix beam search (parity oracle for the device impl)."""
     enc_out = jnp.asarray(enc_out)
     B, T, De = enc_out.shape
     N = beam_size
     lens = np.asarray(enc_lens)
+    predictor_step, joint_step = _bind_steps(predictor_step, joint_step,
+                                             params)
 
     # flat (B*N) state
     state = init_state_fn(B * N)
     tokens = jnp.full((B * N,), blank_id, jnp.int32)
-    pred_out, state = predictor_step(tokens, state)
+    pred_out, state = predictor_step(params, tokens, state)
 
     @jax.jit
-    def fused_step(enc_t, pred_out, ctc_t):
+    def fused_step(prms, enc_t, pred_out, ctc_t):
         # enc_t (B*N, De); ctc_t (B, V) -> fused (B*N, V)
-        logp = joint_step(enc_t, pred_out)
+        logp = joint_step(prms, enc_t, pred_out)
         V = logp.shape[-1]
         ctc_rep = jnp.repeat(ctc_t, N, axis=0)
         fused = jnp.logaddexp(
@@ -489,12 +560,12 @@ def _rnnt_beam_search_host(
         return fused
 
     @jax.jit
-    def reorder_and_step(state, pred_out, sel, new_tokens, advance):
+    def reorder_and_step(prms, state, pred_out, sel, new_tokens, advance):
         """Gather beam entries by sel (B*N,), then predictor-step where
         advance (emitted a token)."""
         state_g = _gather_state(state, sel)
         pred_g = jnp.take(pred_out, sel, axis=0)
-        cand_out, cand_state = predictor_step(new_tokens, state_g)
+        cand_out, cand_state = predictor_step(prms, new_tokens, state_g)
         out = jnp.where(advance[:, None], cand_out, pred_g)
         st = jax.tree.map(
             lambda new, old: _select_rows(advance, new, old),
@@ -509,7 +580,8 @@ def _rnnt_beam_search_host(
 
     for t in range(int(lens.max())):
         enc_t = jnp.repeat(enc_out[:, t], N, axis=0)  # (B*N, De)
-        fused = np.asarray(fused_step(enc_t, pred_out, ctc_probs[:, t]))
+        fused = np.asarray(fused_step(params, enc_t, pred_out,
+                                      ctc_probs[:, t]))
         V = fused.shape[-1]
         sel = np.zeros((B * N,), np.int64)
         new_tok = np.zeros((B * N,), np.int32)
@@ -562,7 +634,7 @@ def _rnnt_beam_search_host(
                 sel[b * N + j] = b * N
             hyps[b] = new_hyps
         pred_out, state = reorder_and_step(
-            state, pred_out, jnp.asarray(sel), jnp.asarray(new_tok),
+            params, state, pred_out, jnp.asarray(sel), jnp.asarray(new_tok),
             jnp.asarray(advance),
         )
 

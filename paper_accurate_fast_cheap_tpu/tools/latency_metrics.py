@@ -7,6 +7,7 @@ FirstToken / LastToken / AvgToken delay percentiles (`:206-274`).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Sequence
 
 import numpy as np
@@ -182,10 +183,11 @@ def main(argv=None):
     config = load_config(args.config)
     tokenizer, model, model_type, params, featurize, _ = \
         build_decode_assets(config, args.checkpoint)
-    fwd = jax.jit(lambda f, l: model.apply(
-        params, f, l, args.chunk_size, method=model.forward_encoder))
-    ctc = jax.jit(lambda e: model.apply(params, e,
-                                        method=model.ctc_logprobs))
+    # params as jit args, not closure literals (utils/jitting.py rationale)
+    fwd = functools.partial(jax.jit(lambda p, f, l: model.apply(
+        p, f, l, args.chunk_size, method=model.forward_encoder)), params)
+    ctc = functools.partial(jax.jit(lambda p, e: model.apply(
+        p, e, method=model.ctc_logprobs)), params)
     timestamps = {}
     with open(args.wav_scp) as f:
         for line in f:
