@@ -57,12 +57,14 @@ def main():
     params = model.init(jax.random.PRNGKey(1), feats[:1, :256].astype(
         jnp.float32), lens[:1], jnp.ones((1, 4), jnp.int32),
         jnp.asarray([4]))
-    # blank-dominant output heads => realistic emission rate
+    # blank-dominant output heads => realistic emission rate (~3-5
+    # tokens/s; +9 suppressed emissions entirely, +2.0 gave a degenerate
+    # 14/s — calibrated on CPU at this init)
     p = params["params"]
     p["joint"]["ffn_out"]["bias"] = (
-        p["joint"]["ffn_out"]["bias"].at[0].add(9.0))
+        p["joint"]["ffn_out"]["bias"].at[0].add(2.5))
     p["ctc"]["ctc_lo"]["bias"] = (
-        p["ctc"]["ctc_lo"]["bias"].at[0].add(9.0))
+        p["ctc"]["ctc_lo"]["bias"].at[0].add(2.5))
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         params)

@@ -198,8 +198,14 @@ def main(argv=None):
                                             args.batch_size):
         enc, enc_lens = fwd(jnp.asarray(wins), jnp.asarray(lens))
         logp = ctc_fn(enc)
-        logp_np = np.asarray(logp)
         lens_np = np.asarray(enc_lens)
+        # rnnt mode never needs the full-vocab posteriors on host — the
+        # beam runs on device and timing only reads the hypothesis'
+        # columns (gathered below).  At LF shapes the full fetch is
+        # (B, T/4, V) ~ 400 MB/window-batch, which dominates wall clock
+        # through the device transport.
+        logp_np = (None if args.mode == "rnnt_beam_search"
+                   else np.asarray(logp))
         if args.mode == "ctc_greedy_search":
             res = search.ctc_greedy_search(logp_np, lens_np)
         elif args.mode == "ctc_prefix_beam_search":
@@ -220,6 +226,19 @@ def main(argv=None):
             # force-align the window's CTC posteriors to the hypothesis
             if r.times and len(r.times) == len(r.tokens):
                 peaks = r.times
+            elif logp_np is None:
+                # gather only {blank} + hypothesis columns on device
+                # (force_align reads no others); remap ids — alignment
+                # structure (incl. same-label skip rules) is preserved
+                cols = np.unique(np.asarray([0] + r.tokens, np.int64))
+                remap = {int(c): i for i, c in enumerate(cols)}
+                sub = np.asarray(jnp.take(
+                    logp[b, : int(lens_np[b])], jnp.asarray(cols), axis=-1))
+                ali = ctc_utils.force_align(
+                    sub, [remap[t] for t in r.tokens], blank_id=remap[0])
+                spans = ctc_utils.alignment_to_token_spans(
+                    ali, blank_id=remap[0])
+                peaks = [s[1] for s in spans]
             else:
                 ali = ctc_utils.force_align(
                     logp_np[b, : lens_np[b]], r.tokens)

@@ -30,26 +30,31 @@ def force_align(ctc_probs: np.ndarray, labels: Sequence[int],
     T = ctc_probs.shape[0]
     y = insert_blank(list(labels), blank_id)
     S = len(y)
-    alpha = np.full((T, S), -np.inf)
-    bp = np.zeros((T, S), np.int64)
-    alpha[0, 0] = ctc_probs[0, y[0]]
+    lp = ctc_probs[:, y]                      # (T, S): only these columns
+    # skip-transition (s-2) allowed where the label differs from two back
+    allow2 = np.zeros(S, bool)
+    allow2[2:] = (y[2:] != blank_id) & (y[2:] != y[:-2])
+    NEG = -np.inf
+    srange = np.arange(S)
+    bp = np.tile(srange, (T, 1))
+    alpha = np.full(S, NEG)
+    alpha[0] = lp[0, 0]
     if S > 1:
-        alpha[0, 1] = ctc_probs[0, y[1]]
+        alpha[1] = lp[0, 1]
+    # vectorized over states; ties keep the loop version's source priority
+    # stay > s-1 > s-2 (np.argmax returns the first max)
     for t in range(1, T):
-        for s in range(S):
-            cands = [alpha[t - 1, s]]
-            srcs = [s]
-            if s > 0:
-                cands.append(alpha[t - 1, s - 1])
-                srcs.append(s - 1)
-            if s > 1 and y[s] != blank_id and y[s] != y[s - 2]:
-                cands.append(alpha[t - 1, s - 2])
-                srcs.append(s - 2)
-            k = int(np.argmax(cands))
-            alpha[t, s] = cands[k] + ctc_probs[t, y[s]]
-            bp[t, s] = srcs[k]
+        c1 = np.full(S, NEG)
+        c1[1:] = alpha[:-1]
+        c2 = np.full(S, NEG)
+        if S > 2:
+            c2[2:] = np.where(allow2[2:], alpha[:-2], NEG)
+        stack = np.stack((alpha, c1, c2))
+        k = np.argmax(stack, axis=0)
+        alpha = stack[k, srange] + lp[t]
+        bp[t] = srange - k
     # end state: S-1 or S-2
-    if S > 1 and alpha[T - 1, S - 2] > alpha[T - 1, S - 1]:
+    if S > 1 and alpha[S - 2] > alpha[S - 1]:
         s = S - 2
     else:
         s = S - 1
