@@ -42,6 +42,11 @@ def get_args(argv=None):
                         "length-agnostic so this only updates the config")
     p.add_argument("--verbatimicity", type=float, default=None,
                    help="cat_embs = [v, 1-v] conditioning (LSL encoders)")
+    p.add_argument("--wkv_impl", default=None,
+                   choices=["pallas", "xla"],
+                   help="override the WKV kernel path (decode default: "
+                        "pallas; xla = the chunked associative-scan "
+                        "formulation)")
     p.add_argument("--encoder_context_size", type=int, default=0,
                    help="switch self-attention to LCA with this context")
     p.add_argument("--encoder_global_tokens", type=int, default=0)
@@ -101,6 +106,8 @@ def main(argv=None):
         enc_conf["rwkv_ctx_len"] = args.rwkv_r
         logging.info("rwkv_ctx_len override %d (length-agnostic on TPU)",
                      args.rwkv_r)
+    if args.wkv_impl:
+        enc_conf["wkv_impl"] = args.wkv_impl
     if args.encoder_context_size > 0:
         enc_conf["selfattention_layer_type"] = "limited_rel_selfattn"
         enc_conf["att_context_size"] = [args.encoder_context_size,
