@@ -42,11 +42,16 @@ def get_args(argv=None):
                         "length-agnostic so this only updates the config")
     p.add_argument("--verbatimicity", type=float, default=None,
                    help="cat_embs = [v, 1-v] conditioning (LSL encoders)")
+    p.add_argument("--precision", default="bf16",
+                   choices=["bf16", "fp32"],
+                   help="decode compute dtype. bf16 mirrors the paper's "
+                        "fp16 LF decode protocol (`recognize_wav2.py` "
+                        "--fp16) and is ~50x faster on the MXU; fp32 for "
+                        "bit-exact parity checks")
     p.add_argument("--wkv_impl", default=None,
-                   choices=["pallas", "xla"],
+                   choices=["pallas", "chunked"],
                    help="override the WKV kernel path (decode default: "
-                        "pallas; xla = the chunked associative-scan "
-                        "formulation)")
+                        "pallas; chunked = the XLA chunked formulation)")
     p.add_argument("--encoder_context_size", type=int, default=0,
                    help="switch self-attention to LCA with this context")
     p.add_argument("--encoder_global_tokens", type=int, default=0)
@@ -64,26 +69,55 @@ def get_args(argv=None):
     return p.parse_args(argv)
 
 
-def window_batches(feats: np.ndarray, chunk: int, batch: int):
-    """(T, D) -> batches of (batch, chunk, D) windows + valid lengths.
+def window_batches(wav_len: int, chunk: int, batch: int,
+                   frame_shift: int = 160, frame_length: int = 400):
+    """Waveform -> batches of fixed-size SAMPLE window offsets, one per
+    ``chunk``-frame fbank window + valid sample lengths.
+
+    Windowing happens in the sample domain so the fbank front-end runs
+    per batch at ONE static shape — featurizing the whole file first
+    compiles a fresh XLA program per distinct audio length (minutes
+    through a remote compile service) and serializes a full-length
+    feature fetch.  Frame ``i`` of window ``s`` covers samples
+    ``[(s+i)*shift, (s+i)*shift + length)`` — exactly the frames the
+    whole-file fbank would produce, so hypotheses are bit-identical.
+
+    Only OFFSETS are yielded: the waveform itself is uploaded to the
+    device once and windows are sliced there (`_window_slice`) — a
+    per-batch (B, win_samples) host upload costs ~20 s through the
+    tunnel transport at LF sizes and dominated steady-state RTF.
 
     The LAST group is padded up to the full ``batch`` rows (length 0 —
     masked everywhere downstream) so every iteration presents one static
     shape to XLA: a ragged tail batch would trigger a full second
-    compile of the encoder + beam programs (minutes on first use).
-    ``group`` carries only the real window start offsets.
+    compile of the encoder + beam programs.  ``group`` carries the real
+    window start offsets in FRAMES (for CTM timing).
     """
-    T = feats.shape[0]
-    starts = list(range(0, max(T, 1), chunk))
+    total_frames = max(0, (wav_len - frame_length) // frame_shift + 1)
+    win_samples = (chunk - 1) * frame_shift + frame_length
+    starts = list(range(0, max(total_frames, 1), chunk))
     for i in range(0, len(starts), batch):
         group = starts[i : i + batch]
-        out = np.zeros((batch, chunk, feats.shape[1]), np.float32)
+        s0 = np.zeros((batch,), np.int32)
         lens = np.zeros((batch,), np.int32)
         for j, s in enumerate(group):
-            n = min(chunk, T - s)
-            out[j, :n] = feats[s : s + n]
-            lens[j] = n
-        yield group, out, lens
+            s0[j] = s * frame_shift
+            lens[j] = max(0, min(win_samples, wav_len - s0[j]))
+        yield group, s0, lens
+
+
+def make_window_slicer(wav: np.ndarray, win_samples: int):
+    """Upload the waveform once; return a jitted (starts (B,)) ->
+    (B, win_samples) device windower (zero-padded past the end)."""
+    wav_dev = jnp.asarray(np.pad(wav, (0, win_samples)))
+
+    @jax.jit
+    def slice_fn(w, starts):
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(w, (s,), (win_samples,))
+        )(starts)
+
+    return functools.partial(slice_fn, wav_dev)
 
 
 def main(argv=None):
@@ -118,6 +152,10 @@ def main(argv=None):
     config = dict(config, encoder_conf=enc_conf)
     tokenizer, model, model_type, params, featurize, dataset_conf = \
         build_decode_assets(config, args.checkpoint)
+    if args.precision == "bf16":
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
     cat_embs = None
     if args.verbatimicity is not None:
         cat_embs = jnp.asarray(
@@ -133,11 +171,10 @@ def main(argv=None):
         sr = 16000
     audio_seconds = len(wav) / sr
 
+    fb = dataset_conf.get("fbank_conf", {})
+    frame_shift = int(fb.get("frame_shift", 10)) * (16000 // 1000)
+    frame_length = int(fb.get("frame_length", 25)) * (16000 // 1000)
     t_start = time.perf_counter()
-    feats, feat_lens = featurize(
-        jnp.asarray(wav[None, :]), jnp.asarray([len(wav)]), train=False
-    )
-    feats_np = np.asarray(feats[0][: int(feat_lens[0])])
 
     name = os.path.splitext(os.path.basename(args.wav))[0]
     os.makedirs(args.output_dir, exist_ok=True)
@@ -167,7 +204,7 @@ def main(argv=None):
         from paper_accurate_fast_cheap_tpu.models import factory as _fac
 
         sp_model, _ = _fac.init_model(sp_config, tokenizer.vocab_size(),
-                                      feats_np.shape[-1])
+                                      int(fb.get("num_mel_bins", 80)))
 
         @functools.partial(jax.shard_map, mesh=smesh,
                            in_specs=(P(), P(None, "seq"), P()),
@@ -201,11 +238,23 @@ def main(argv=None):
 
     ctm_lines = []
     all_text = []
-    for group, wins, lens in window_batches(feats_np, args.chunk_size,
-                                            args.batch_size):
-        enc, enc_lens = fwd(jnp.asarray(wins), jnp.asarray(lens))
+    batch_times = []      # wall clock per window batch (first bears compile)
+    batch_audio = []      # decoded audio seconds per batch
+    win_samples = (args.chunk_size - 1) * frame_shift + frame_length
+    window_slice = make_window_slicer(wav, win_samples)
+    for group, s0, slens in window_batches(len(wav), args.chunk_size,
+                                           args.batch_size,
+                                           frame_shift, frame_length):
+        t_batch = time.perf_counter()
+        swins = window_slice(jnp.asarray(s0))
+        feats, feat_lens = featurize(swins, jnp.asarray(slens),
+                                     train=False)
+        if args.precision == "bf16":
+            feats = feats.astype(jnp.bfloat16)
+        enc, enc_lens = fwd(feats, feat_lens)
         logp = ctc_fn(enc)
         lens_np = np.asarray(enc_lens)
+        t_enc = time.perf_counter()
         # rnnt mode never needs the full-vocab posteriors on host — the
         # beam runs on device and timing only reads the hypothesis'
         # columns (gathered below).  At LF shapes the full fetch is
@@ -226,30 +275,25 @@ def main(argv=None):
                 transducer_weight=args.transducer_weight,
                 params=params,
             )
+        t_search = time.perf_counter()
+        # token timing: one batched on-device Viterbi per window batch
+        # (the host aligner costs seconds/row at LF window sizes)
+        need_align = [b for b, r in enumerate(res)
+                      if r.tokens and not (r.times
+                                           and len(r.times) == len(r.tokens))]
+        alis = {}
+        if need_align:
+            batch_ali = ctc_utils.force_align_batch_device(
+                logp, lens_np, [res[b].tokens if b in need_align else []
+                                for b in range(len(res))])
+            alis = {b: batch_ali[b] for b in need_align}
         for start_frame, r, b in zip(group, res, range(len(res))):
             if not r.tokens:
                 continue
-            # token times: decode modes with peak times use them, otherwise
-            # force-align the window's CTC posteriors to the hypothesis
             if r.times and len(r.times) == len(r.tokens):
                 peaks = r.times
-            elif logp_np is None:
-                # gather only {blank} + hypothesis columns on device
-                # (force_align reads no others); remap ids — alignment
-                # structure (incl. same-label skip rules) is preserved
-                cols = np.unique(np.asarray([0] + r.tokens, np.int64))
-                remap = {int(c): i for i, c in enumerate(cols)}
-                sub = np.asarray(jnp.take(
-                    logp[b, : int(lens_np[b])], jnp.asarray(cols), axis=-1))
-                ali = ctc_utils.force_align(
-                    sub, [remap[t] for t in r.tokens], blank_id=remap[0])
-                spans = ctc_utils.alignment_to_token_spans(
-                    ali, blank_id=remap[0])
-                peaks = [s[1] for s in spans]
             else:
-                ali = ctc_utils.force_align(
-                    logp_np[b, : lens_np[b]], r.tokens)
-                spans = ctc_utils.alignment_to_token_spans(ali)
+                spans = ctc_utils.alignment_to_token_spans(alis[b])
                 peaks = [s[1] for s in spans]
             offset_sec = start_frame * 0.01
             times = ctc_utils.gen_timestamps_from_peak(
@@ -265,9 +309,24 @@ def main(argv=None):
                 )
             text, _ = tokenizer.detokenize(r.tokens)
             all_text.append(text)
+        t_done = time.perf_counter()
+        logging.info("batch @%d: enc %.2fs search %.2fs align+ctm %.2fs",
+                     group[0], t_enc - t_batch, t_search - t_enc,
+                     t_done - t_search)
+        batch_times.append(t_done - t_batch)
+        batch_audio.append(float(np.sum(slens)) / 16000.0)
 
     elapsed = time.perf_counter() - t_start
     rtf = elapsed / max(audio_seconds, 1e-9)
+    # steady-state RTF over post-compile batches: the first window batch
+    # carries the XLA compile of the encoder + beam programs (minutes
+    # through the remote compile service), which a production decoder
+    # amortizes over a whole dataset — `recognize_wav2.py:481-489` logs
+    # its .rtf the same way after its CUDA warmup pass
+    if len(batch_times) > 1:
+        steady_rtf = sum(batch_times[1:]) / max(sum(batch_audio[1:]), 1e-9)
+    else:
+        steady_rtf = rtf
     with open(os.path.join(args.output_dir, name + ".ctm"), "w") as f:
         f.write("\n".join(ctm_lines) + ("\n" if ctm_lines else ""))
     with open(os.path.join(args.output_dir, name + ".txt"), "w") as f:
@@ -275,6 +334,11 @@ def main(argv=None):
     with open(os.path.join(args.output_dir, name + ".rtf"), "w") as f:
         f.write(f"final_rtf {rtf:.6f} elapsed {elapsed:.3f} "
                 f"audio_seconds {audio_seconds:.2f}\n")
+        f.write(f"steady_rtf {steady_rtf:.6f}\n")
+        f.write("batch_times " +
+                " ".join(f"{t:.3f}" for t in batch_times) + "\n")
+        f.write("batch_audio " +
+                " ".join(f"{a:.1f}" for a in batch_audio) + "\n")
     # device-memory log (`recognize_wav2.py:44-95` GpuMemoryMonitor role)
     from paper_accurate_fast_cheap_tpu.utils.profiling import (
         device_memory_stats,
@@ -284,8 +348,9 @@ def main(argv=None):
     with open(os.path.join(args.output_dir, name + ".vram"), "w") as f:
         for k2, v2 in stats.items():
             f.write(f"{k2} {v2:.1f}\n")
-    logging.info("decoded %s: %.1fs audio in %.2fs (RTF %.4f)", name,
-                 audio_seconds, elapsed, rtf)
+    logging.info("decoded %s: %.1fs audio in %.2fs (RTF %.4f, steady "
+                 "%.4f = %.0fx realtime)", name, audio_seconds, elapsed,
+                 rtf, steady_rtf, 1.0 / max(steady_rtf, 1e-9))
     return 0
 
 

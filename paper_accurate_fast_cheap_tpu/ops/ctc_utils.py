@@ -124,3 +124,113 @@ def get_blank_id(configs: dict, symbol_table: dict) -> int:
     if blank_id is None:
         blank_id = symbol_table.get("<blank>", 0)
     return int(blank_id)
+
+
+# -- batched on-device Viterbi (long-form CTM timing path) -----------------
+
+_VITERBI_CACHE: dict = {}
+
+
+def _viterbi_program(B: int, T: int, Sp: int, V: int):
+    """Jitted whole-batch CTC Viterbi: forward scan emitting backpointers
+    + reverse backtrack scan, all on device.  Only the (B, T) best-path
+    token ids come back to host — at long-form shapes the alternative
+    (fetching posterior columns and looping on host) costs seconds per
+    window batch in transfers + Python."""
+    import jax
+    import jax.numpy as jnp
+
+    NEG = jnp.float32(-jnp.inf)
+
+    def run(logp, lens, y, allow2, S):
+        # logp (B,T,V) f32; lens/S (B,) i32; y (B,Sp) i32; allow2 (B,Sp)
+        lp = jnp.take_along_axis(
+            logp.astype(jnp.float32), y[:, None, :], axis=2)  # (B,T,Sp)
+        valid = jnp.arange(Sp)[None, :] < S[:, None]
+        lp = jnp.where(valid[:, None, :], lp, NEG)
+
+        alpha0 = jnp.full((B, Sp), NEG)
+        alpha0 = alpha0.at[:, 0].set(lp[:, 0, 0])
+        if Sp > 1:
+            alpha0 = alpha0.at[:, 1].set(
+                jnp.where(S > 1, lp[:, 0, 1], NEG))
+
+        negcol = jnp.full((B, 1), NEG)
+
+        def step(alpha, inp):
+            lp_t, t = inp
+            c1 = jnp.concatenate([negcol, alpha[:, :-1]], axis=1)
+            if Sp > 2:
+                c2 = jnp.concatenate([negcol, negcol, alpha[:, :-2]],
+                                     axis=1)
+            else:
+                c2 = jnp.full((B, Sp), NEG)
+            c2 = jnp.where(allow2, c2, NEG)
+            stack = jnp.stack([alpha, c1, c2])        # (3,B,Sp)
+            k = jnp.argmax(stack, axis=0)             # first max: stay>1>2
+            new_alpha = jnp.take_along_axis(stack, k[None], axis=0)[0] \
+                + lp_t
+            act = (t < lens)[:, None]                 # freeze ended rows
+            return (jnp.where(act, new_alpha, alpha),
+                    jnp.where(act, k, 0).astype(jnp.int8))
+
+        alpha, ks = jax.lax.scan(
+            step, alpha0,
+            (jnp.moveaxis(lp[:, 1:], 1, 0), jnp.arange(1, T)))
+
+        sm1 = S - 1
+        sm2 = jnp.maximum(S - 2, 0)
+        a_m1 = jnp.take_along_axis(alpha, sm1[:, None], 1)[:, 0]
+        a_m2 = jnp.take_along_axis(alpha, sm2[:, None], 1)[:, 0]
+        s_end = jnp.where((S > 1) & (a_m2 > a_m1), sm2, sm1)
+
+        def back(s, k_t):
+            tok = jnp.take_along_axis(y, s[:, None], 1)[:, 0]
+            kk = jnp.take_along_axis(k_t, s[:, None], 1)[:, 0]
+            return s - kk.astype(jnp.int32), tok
+
+        s0, toks = jax.lax.scan(back, s_end, ks, reverse=True)
+        tok0 = jnp.take_along_axis(y, s0[:, None], 1)  # (B,1)
+        return jnp.concatenate(
+            [tok0, jnp.moveaxis(toks, 0, 1)], axis=1)  # (B,T)
+
+    return jax.jit(run)
+
+
+def force_align_batch_device(logp, lens, labels_list, blank_id: int = 0,
+                             s_bucket: int = 256):
+    """Batched `force_align` with the DP on device.
+
+    logp: (B, T, V) log-probs (jax array, stays on device); lens (B,)
+    valid frame counts; labels_list: per-row hypothesis token ids.
+    Returns per-row frame alignments (lists, length lens[b]), identical
+    to `force_align(logp[b, :lens[b]], labels_list[b])`.  The state axis
+    is padded to `s_bucket` multiples so XLA programs are reused across
+    hypothesis lengths.
+    """
+    import jax.numpy as jnp
+
+    B, T, V = logp.shape
+    lens = np.asarray(lens, np.int64)
+    S_real = np.asarray([2 * len(l) + 1 for l in labels_list], np.int32)
+    Sp = max(s_bucket, int(
+        -(-int(S_real.max()) // s_bucket) * s_bucket))
+    y = np.full((B, Sp), blank_id, np.int32)
+    allow2 = np.zeros((B, Sp), bool)
+    for b, labels in enumerate(labels_list):
+        yb = insert_blank(list(labels), blank_id)
+        y[b, : len(yb)] = yb
+        if len(yb) > 2:
+            allow2[b, 2 : len(yb)] = ((yb[2:] != blank_id)
+                                      & (yb[2:] != yb[:-2]))
+    key = (B, T, Sp, V)
+    run = _VITERBI_CACHE.get(key)
+    if run is None:
+        run = _viterbi_program(B, T, Sp, V)
+        _VITERBI_CACHE[key] = run
+        if len(_VITERBI_CACHE) > 16:
+            _VITERBI_CACHE.pop(next(iter(_VITERBI_CACHE)))
+    path = np.asarray(run(logp, jnp.asarray(lens, jnp.int32),
+                          jnp.asarray(y), jnp.asarray(allow2),
+                          jnp.asarray(S_real)))
+    return [[int(x) for x in path[b, : int(lens[b])]] for b in range(B)]

@@ -92,3 +92,24 @@ def test_force_align_empty_labels():
     rng = np.random.RandomState(3)
     lp = np.log(rng.dirichlet(np.ones(4), size=6))
     assert force_align(lp, []) == [0] * 6
+
+
+def test_force_align_batch_device_parity():
+    """The on-device batched Viterbi (LF CTM timing path) must return the
+    host aligner's exact output per row, including frozen tail frames
+    (lens < T), empty hypotheses, and repeated labels."""
+    import jax.numpy as jnp
+
+    from paper_accurate_fast_cheap_tpu.ops.ctc_utils import (
+        force_align_batch_device,
+    )
+
+    rng = np.random.RandomState(4)
+    B, T, V = 5, 25, 8
+    logp = np.log(rng.dirichlet(np.ones(V), size=(B, T))).astype(np.float32)
+    lens = np.asarray([25, 17, 1, 25, 9])
+    labels = [[3, 3, 5], [1], [], [2, 4, 2, 4, 7, 7], [6, 6]]
+    out = force_align_batch_device(jnp.asarray(logp), lens, labels,
+                                   s_bucket=4)
+    for b in range(B):
+        assert out[b] == force_align(logp[b, : lens[b]], labels[b]), b
