@@ -97,21 +97,34 @@ def run_once(args, batch, chunk, output=None):
             lambda x: x.astype(jnp.bfloat16)
             if x.dtype == jnp.float32 else x, params)
 
-    def fwd(p, f, l):
-        enc, enc_lens = model.apply(p, f, l, method=model.forward_encoder)
-        return model.apply(p, enc, method=model.ctc_logprobs), enc_lens
+    # Honest timing on the relay-attached device: the transport SKIPS
+    # executing any dispatched program whose outputs are never fetched
+    # (verified: 5 dispatches + fetch-last costs ~1 execution, even with
+    # all output buffers held live).  A python loop + one final read
+    # therefore measures ~one iteration regardless of `iters`.  The loop
+    # must live ON DEVICE with a serial data dependency: fori_loop
+    # carries a scalar derived from each iteration's output back into
+    # the next iteration's input, so one dispatch + one scalar fetch
+    # forces exactly `iters` chained executions.
+    def fwd_step(p, f, l, s):
+        enc, _ = model.apply(p, f + s.astype(f.dtype), l,
+                             method=model.forward_encoder)
+        logp = model.apply(p, enc, method=model.ctc_logprobs)
+        # tiny but unfoldable scalar: depends on real output values
+        return jnp.min(jnp.abs(logp)).astype(jnp.float32) * 1e-30
 
-    jfwd = jax.jit(fwd)
+    @jax.jit
+    def timed(p, f, l, n):
+        # traced n -> while lowering: ONE compile for warmup and run
+        return jax.lax.fori_loop(
+            0, n, lambda i, s: fwd_step(p, f, l, s), jnp.float32(0))
+
     compile_t0 = time.perf_counter()
-    for _ in range(max(args.warmup, 1)):
-        out = jfwd(params, feats, lens)
-        float(np.asarray(out[0][0, 0, 0]))  # force full execution
+    float(timed(params, feats, lens, max(args.warmup, 1)))
     compile_s = time.perf_counter() - compile_t0
 
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = jfwd(params, feats, lens)
-    float(np.asarray(out[0][0, 0, 0]))
+    float(timed(params, feats, lens, args.iters))
     elapsed = time.perf_counter() - t0
 
     audio_seconds = args.iters * B * T * 0.01

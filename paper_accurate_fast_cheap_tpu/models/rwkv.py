@@ -153,10 +153,17 @@ class RWKVTimeMix(nn.Module):
                 return_state=return_state,
             )
         else:
+            # the Pallas kernel has crashed the TPU WORKER (not just the
+            # program) twice at long-form T on real data (NOTES.md
+            # "Pallas WKV at LF shapes"); gate it to the tested range
+            # and fall back to the chunked-XLA formulation beyond it
+            impl = self.wkv_impl
+            if impl == "pallas" and T > 8192:
+                impl = "chunked"
             wkv_out = wkv6_ops.wkv6(
                 r.reshape(shp), k.reshape(shp), v.reshape(shp),
                 w.reshape(shp), u.astype(dt), state=wkv_state,
-                chunk_size=self.wkv_chunk_size, impl=self.wkv_impl,
+                chunk_size=self.wkv_chunk_size, impl=impl,
                 pallas_version=self.wkv_version,
                 return_state=return_state,
             )
