@@ -238,49 +238,29 @@ def main(argv=None):
 
     ctm_lines = []
     all_text = []
-    batch_times = []      # wall clock per window batch (first bears compile)
+    batch_done = []       # wall clock when each batch's results landed
     batch_audio = []      # decoded audio seconds per batch
     win_samples = (args.chunk_size - 1) * frame_shift + frame_length
     window_slice = make_window_slicer(wav, win_samples)
-    for group, s0, slens in window_batches(len(wav), args.chunk_size,
-                                           args.batch_size,
-                                           frame_shift, frame_length):
-        t_batch = time.perf_counter()
-        swins = window_slice(jnp.asarray(s0))
-        feats, feat_lens = featurize(swins, jnp.asarray(slens),
-                                     train=False)
-        if args.precision == "bf16":
-            feats = feats.astype(jnp.bfloat16)
-        enc, enc_lens = fwd(feats, feat_lens)
-        logp = ctc_fn(enc)
+
+    def finalize(entry):
+        """Materialize one dispatched batch: fetch, search-finalize,
+        align, CTM."""
+        group, slens, enc_lens, logp, payload = entry
         lens_np = np.asarray(enc_lens)
-        t_enc = time.perf_counter()
-        # rnnt mode never needs the full-vocab posteriors on host — the
-        # beam runs on device and timing only reads the hypothesis'
-        # columns (gathered below).  At LF shapes the full fetch is
-        # (B, T/4, V) ~ 400 MB/window-batch, which dominates wall clock
-        # through the device transport.
-        logp_np = (None if args.mode == "rnnt_beam_search"
-                   else np.asarray(logp))
-        if args.mode == "ctc_greedy_search":
-            res = search.ctc_greedy_search(logp_np, lens_np)
-        elif args.mode == "ctc_prefix_beam_search":
-            res = search.ctc_prefix_beam_search(logp_np, lens_np,
-                                                beam_size=args.beam_size)
+        if args.mode == "rnnt_beam_search":
+            res = rnnt_search.finalize_device_beam(payload)
+        elif args.mode == "ctc_greedy_search":
+            res = search.ctc_greedy_search(np.asarray(logp), lens_np)
         else:
-            res = rnnt_search.rnnt_beam_search(
-                predictor_step, joint_step, init_state_fn, enc, enc_lens,
-                logp, beam_size=args.beam_size,
-                ctc_weight=args.ctc_weight,
-                transducer_weight=args.transducer_weight,
-                params=params,
-            )
-        t_search = time.perf_counter()
+            res = search.ctc_prefix_beam_search(
+                np.asarray(logp), lens_np, beam_size=args.beam_size)
         # token timing: one batched on-device Viterbi per window batch
         # (the host aligner costs seconds/row at LF window sizes)
         need_align = [b for b, r in enumerate(res)
                       if r.tokens and not (r.times
-                                           and len(r.times) == len(r.tokens))]
+                                           and len(r.times)
+                                           == len(r.tokens))]
         alis = {}
         if need_align:
             batch_ali = ctc_utils.force_align_batch_device(
@@ -309,12 +289,40 @@ def main(argv=None):
                 )
             text, _ = tokenizer.detokenize(r.tokens)
             all_text.append(text)
-        t_done = time.perf_counter()
-        logging.info("batch @%d: enc %.2fs search %.2fs align+ctm %.2fs",
-                     group[0], t_enc - t_batch, t_search - t_enc,
-                     t_done - t_search)
-        batch_times.append(t_done - t_batch)
+        batch_done.append(time.perf_counter())
         batch_audio.append(float(np.sum(slens)) / 16000.0)
+
+    # two-deep software pipeline: dispatch batch i+1's device chain
+    # (slice -> fbank -> encoder -> ctc -> beam scan, no host reads)
+    # BEFORE finalizing batch i, so per-dispatch transport latency and
+    # host-side CTM work overlap with device compute
+    pending = None
+    for group, s0, slens in window_batches(len(wav), args.chunk_size,
+                                           args.batch_size,
+                                           frame_shift, frame_length):
+        swins = window_slice(jnp.asarray(s0))
+        feats, feat_lens = featurize(swins, jnp.asarray(slens),
+                                     train=False)
+        if args.precision == "bf16":
+            feats = feats.astype(jnp.bfloat16)
+        enc, enc_lens = fwd(feats, feat_lens)
+        logp = ctc_fn(enc)
+        if args.mode == "rnnt_beam_search":
+            payload = rnnt_search.rnnt_beam_search(
+                predictor_step, joint_step, init_state_fn, enc, enc_lens,
+                logp, beam_size=args.beam_size,
+                ctc_weight=args.ctc_weight,
+                transducer_weight=args.transducer_weight,
+                params=params, defer=True,
+            )
+        else:
+            payload = None
+        entry = (group, slens, enc_lens, logp, payload)
+        if pending is not None:
+            finalize(pending)
+        pending = entry
+    if pending is not None:
+        finalize(pending)
 
     elapsed = time.perf_counter() - t_start
     rtf = elapsed / max(audio_seconds, 1e-9)
@@ -322,9 +330,15 @@ def main(argv=None):
     # carries the XLA compile of the encoder + beam programs (minutes
     # through the remote compile service), which a production decoder
     # amortizes over a whole dataset — `recognize_wav2.py:481-489` logs
-    # its .rtf the same way after its CUDA warmup pass
-    if len(batch_times) > 1:
-        steady_rtf = sum(batch_times[1:]) / max(sum(batch_audio[1:]), 1e-9)
+    # its .rtf the same way after its CUDA warmup pass.  With the
+    # software pipeline, per-batch wall times are the gaps between
+    # successive result landings.
+    batch_times = [batch_done[0] - t_start] + [
+        batch_done[i] - batch_done[i - 1]
+        for i in range(1, len(batch_done))]
+    if len(batch_done) > 1:
+        steady_rtf = ((batch_done[-1] - batch_done[0])
+                      / max(sum(batch_audio[1:]), 1e-9))
     else:
         steady_rtf = rtf
     with open(os.path.join(args.output_dir, name + ".ctm"), "w") as f:

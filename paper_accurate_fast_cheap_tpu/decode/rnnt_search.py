@@ -203,7 +203,8 @@ def rnnt_beam_search(
     transducer_weight: float = 0.7,
     impl: str = "device",
     params: Any = None,
-) -> List[DecodeResult]:
+    defer: bool = False,
+):
     """Batched prefix beam search with CTC shallow fusion.
 
     ``impl='device'`` (default) runs the whole search as one jitted
@@ -223,7 +224,7 @@ def rnnt_beam_search(
         return _rnnt_beam_search_device(
             predictor_step, joint_step, init_state_fn, enc_out, enc_lens,
             ctc_probs, beam_size, blank_id, ctc_weight, transducer_weight,
-            params,
+            params, defer,
         )
     return _rnnt_beam_search_host(
         predictor_step, joint_step, init_state_fn, enc_out, enc_lens,
@@ -322,8 +323,8 @@ def _gather_state(state, sel):
 def _rnnt_beam_search_device(
     predictor_step, joint_step, init_state_fn, enc_out, enc_lens,
     ctc_probs, beam_size, blank_id, ctc_weight, transducer_weight,
-    params=None,
-) -> List[DecodeResult]:
+    params=None, defer=False,
+):
     """Fully on-device prefix beam search (one jitted scan over frames).
 
     Prefix identity is tracked with two incremental 32-bit polynomial
@@ -501,10 +502,23 @@ def _rnnt_beam_search_device(
     else:
         run = cached[0]
     out = run(params, carry0, xs, lens_dev)
+    if defer:
+        return out
+    return finalize_device_beam(out)
 
+
+def finalize_device_beam(out) -> List[DecodeResult]:
+    """Materialize a deferred device-beam carry into DecodeResults.
+
+    Split from the search so callers can DISPATCH the next window
+    batch's device work before fetching this one's outputs (the fetch
+    blocks on the whole chain; overlapping it with the next batch's
+    compute hides per-dispatch transport latency in long-form decode).
+    """
     hyps = np.asarray(out["hyps"])
     hyp_len = np.asarray(out["hyp_len"])
     scores = np.asarray(out["scores"])
+    B, N = scores.shape
     results = []
     for b in range(B):
         nbest, nscores = [], []
