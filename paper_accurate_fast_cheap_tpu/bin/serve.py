@@ -166,6 +166,8 @@ class ASRHandler(socketserver.BaseRequestHandler):
         pcm = b""
         last_partial_samples = 0
         mode = "ctc_greedy_search"
+        session = None       # true-streaming (stateful incremental) mode
+        last_partial_text = None
         try:
             while True:
                 opcode, payload = read_frame(sock)
@@ -177,16 +179,37 @@ class ASRHandler(socketserver.BaseRequestHandler):
                         pcm = b""
                         last_partial_samples = 0
                         mode = msg.get("decode_mode", mode)
+                        session = None
+                        last_partial_text = None
+                        if msg.get("streaming"):
+                            # incremental session: state-carried causal
+                            # encoder, O(T) total work (the offline mode
+                            # re-decodes the whole buffer per partial)
+                            session = self.server.session_factory()
                         write_frame(sock, json.dumps(
                             {"status": "ok",
                              "type": "server_ready"}).encode())
                     elif msg.get("signal") == "end":
-                        text = self._decode(worker, pcm, mode)
+                        if session is not None:
+                            text = session.finalize().text
+                        else:
+                            text = self._decode(worker, pcm, mode)
                         write_frame(sock, json.dumps(
                             {"status": "ok", "type": "final_result",
                              "nbest": text}).encode())
                         break
                 elif opcode == 2:  # binary pcm16
+                    if session is not None:
+                        wav = np.frombuffer(payload, np.int16
+                                            ).astype(np.float32) / 32768.0
+                        part = session.accept_waveform(wav)
+                        if part.text != last_partial_text:
+                            last_partial_text = part.text
+                            write_frame(sock, json.dumps(
+                                {"status": "ok",
+                                 "type": "partial_result",
+                                 "nbest": part.text}).encode())
+                        continue
                     pcm += payload
                     n = len(pcm) // 2
                     if (n - last_partial_samples) >= int(
@@ -220,11 +243,22 @@ class ASRServer(socketserver.ThreadingTCPServer):
 
 
 def serve(model, host: str = "0.0.0.0", port: int = 10086,
-          partial_interval: float = 2.0, max_batch: int = 8):
+          partial_interval: float = 2.0, max_batch: int = 8,
+          streaming_chunk: int = 16):
+    from paper_accurate_fast_cheap_tpu.streaming import (
+        make_session_factory,
+    )
+
     srv = ASRServer((host, port), ASRHandler)
     srv.asr_model = model
     srv.decode_worker = DecodeWorker(model, max_batch=max_batch)
     srv.partial_interval = partial_interval
+    # per-connection incremental sessions ({"signal": "start",
+    # "streaming": true}); causal encoders only — all sessions share one
+    # compiled chunk program
+    srv.session_factory = make_session_factory(
+        model.model, model.params, model.tokenizer, model.featurize,
+        decoding_chunk_size=streaming_chunk)
     log.info("serving on ws://%s:%d", host, port)
     return srv
 
@@ -238,13 +272,17 @@ def main(argv=None):
     p.add_argument("--partial_interval", type=float, default=2.0)
     p.add_argument("--max_batch", type=int, default=8,
                    help="micro-batch cap across concurrent connections")
+    p.add_argument("--streaming_chunk", type=int, default=16,
+                   help="encoder frames per incremental chunk for "
+                        "streaming sessions")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     from paper_accurate_fast_cheap_tpu.api import load_model
 
     model = load_model(args.model_dir, args.checkpoint)
     srv = serve(model, args.host, args.port, args.partial_interval,
-                max_batch=args.max_batch)
+                max_batch=args.max_batch,
+                streaming_chunk=args.streaming_chunk)
     srv.serve_forever()
     return 0
 
