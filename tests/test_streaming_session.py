@@ -54,35 +54,37 @@ def _assets():
 def test_streaming_session_matches_offline():
     model, params, tok, featurize = _assets()
     c, k = 8, 4                      # chunk 8 enc frames, 4 full windows
-    T = 4 * k * c + 3                # frames tile the windows exactly
-    n_samples = (T - 1) * 160 + 400
-    rng = np.random.RandomState(5)
-    wav = (rng.randn(n_samples) * 0.1).astype(np.float32)
-
-    # offline: whole-file features -> full forward -> greedy
-    feats, flens = featurize(jnp.asarray(wav[None]),
-                             jnp.asarray([len(wav)]), train=False)
-    enc, el = model.apply(params, feats, flens,
-                          method=model.forward_encoder)
-    logp = model.apply(params, enc, method=model.ctc_logprobs)
-    offline = search.ctc_greedy_search(np.asarray(logp),
-                                       np.asarray(el))[0].tokens
-
     factory_fn = make_session_factory(model, params, tok, featurize,
                                       decoding_chunk_size=c)
-    sess = factory_fn()
-    # drip-feed in uneven pieces
-    pieces = np.array_split(wav, 7)
-    for p in pieces:
-        sess.accept_waveform(p)
-    final = sess.finalize()
-    assert final.final
-    assert final.tokens == offline, (final.tokens, offline)
+    # tail = 3 frames (< context: dropped, as offline ds4 drops them) and
+    # tail = 20 frames (>= context: flushed through the padded window)
+    for tail in (3, 20):
+        T = 4 * k * c + tail
+        n_samples = (T - 1) * 160 + 400
+        rng = np.random.RandomState(5)
+        wav = (rng.randn(n_samples) * 0.1).astype(np.float32)
 
-    # a second session reuses the compiled programs and is independent
-    sess2 = factory_fn()
-    sess2.accept_waveform(wav)
-    assert sess2.finalize().tokens == offline
+        # offline: whole-file features -> full forward -> greedy
+        feats, flens = featurize(jnp.asarray(wav[None]),
+                                 jnp.asarray([len(wav)]), train=False)
+        enc, el = model.apply(params, feats, flens,
+                              method=model.forward_encoder)
+        logp = model.apply(params, enc, method=model.ctc_logprobs)
+        offline = search.ctc_greedy_search(np.asarray(logp),
+                                           np.asarray(el))[0].tokens
+
+        sess = factory_fn()
+        # drip-feed in uneven pieces
+        for p in np.array_split(wav, 7):
+            sess.accept_waveform(p)
+        final = sess.finalize()
+        assert final.final
+        assert final.tokens == offline, (tail, final.tokens, offline)
+
+        # a second session reuses the compiled programs, independent
+        sess2 = factory_fn()
+        sess2.accept_waveform(wav)
+        assert sess2.finalize().tokens == offline
 
 
 def test_streaming_websocket_mode():
