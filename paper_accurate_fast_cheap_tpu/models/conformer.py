@@ -167,7 +167,11 @@ class ConformerEncoderLayer(nn.Module):
 
         res = x
         y = nn.LayerNorm(epsilon=1e-5, name="norm_mha")(x)
-        if isinstance(self.self_attn, RWKVAttention):
+        from paper_accurate_fast_cheap_tpu.models.mamba import (
+            MambaAttention,
+        )
+
+        if isinstance(self.self_attn, (RWKVAttention, MambaAttention)):
             if return_state:
                 y, new_state["attn"] = self.self_attn(
                     y, y, att_mask, pos_emb, lengths=lengths,

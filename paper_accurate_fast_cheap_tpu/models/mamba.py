@@ -55,7 +55,12 @@ class Mamba2Block(nn.Module):
     A_init_range: tuple = (1.0, 16.0)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, state=None, return_state: bool = False):
+        """state (streaming continuation): {"conv": (B, d_conv-1, Din)
+        pre-activation conv inputs, "ssd": (B, H, N, P) SSD state}.
+        With ``state=None, return_state=True`` the zero state is used
+        (== the causal left pad), so chunked output equals the full
+        forward (`tests/test_streaming.py` contract)."""
         D = self.d_model
         d_inner = self.expand * D
         H = d_inner // self.headdim
@@ -75,6 +80,11 @@ class Mamba2Block(nn.Module):
 
         # short causal depthwise conv on (x, B, C) jointly
         conv_in = jnp.concatenate([xs, Bc, Cc], axis=-1)
+        streaming = return_state or state is not None
+        new_state = {}
+        if streaming and self.spmd_axis:
+            raise ValueError("streaming state is per-chunk sequential — "
+                             "incompatible with sequence parallelism")
         if self.spmd_axis:
             from paper_accurate_fast_cheap_tpu.parallel.sequence import (
                 halo_exchange,
@@ -86,6 +96,16 @@ class Mamba2Block(nn.Module):
                 conv_in.shape[-1], (self.d_conv,), padding="VALID",
                 feature_group_count=conv_in.shape[-1], name="conv1d",
             )(conv_in)
+        elif streaming:
+            K = self.d_conv - 1
+            cache = (state["conv"] if state is not None else
+                     jnp.zeros((Bt, K, conv_in.shape[-1]), conv_in.dtype))
+            full = jnp.concatenate([cache, conv_in], axis=1)
+            conv = nn.Conv(
+                full.shape[-1], (self.d_conv,), padding="VALID",
+                feature_group_count=full.shape[-1], name="conv1d",
+            )(full)
+            new_state["conv"] = full[:, full.shape[1] - K:]
         else:
             conv = nn.Conv(
                 conv_in.shape[-1], (self.d_conv,),
@@ -130,6 +150,17 @@ class Mamba2Block(nn.Module):
                 D_skip.astype(dt), self.spmd_axis,
                 chunk_size=self.chunk_size,
             ).reshape(Bt, T, d_inner)
+        elif streaming:
+            y, new_state["ssd"] = ssd_ops.ssd(
+                xs.reshape(Bt, T, H, self.headdim),
+                dtv.astype(dt), A.astype(dt),
+                Bc.reshape(Bt, T, G, N), Cc.reshape(Bt, T, G, N),
+                D_skip.astype(dt),
+                state=None if state is None else state["ssd"],
+                chunk_size=self.chunk_size, return_state=True,
+                impl=self.ssd_impl,
+            )
+            y = y.reshape(Bt, T, d_inner)
         else:
             y = ssd_ops.ssd(
                 xs.reshape(Bt, T, H, self.headdim),
@@ -143,7 +174,10 @@ class Mamba2Block(nn.Module):
             ).reshape(Bt, T, d_inner)
 
         y = GatedRMSNorm(name="norm")(y, z)
-        return nn.Dense(D, use_bias=False, name="out_proj")(y)
+        out = nn.Dense(D, use_bias=False, name="out_proj")(y)
+        if return_state:
+            return out, new_state
+        return out
 
 
 class MambaAttention(nn.Module):
@@ -161,7 +195,8 @@ class MambaAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x_q, x_kv=None, mask=None, pos_emb=None, *,
-                 lengths=None, deterministic: bool = True):
+                 lengths=None, deterministic: bool = True,
+                 state=None, return_state: bool = False):
         x = x_q
         fwd_block = Mamba2Block(
             d_model=self.d_model, headdim=self.head_size,
@@ -169,6 +204,11 @@ class MambaAttention(nn.Module):
             ssd_impl=self.ssd_impl, spmd_axis=self.spmd_axis,
             name="mamba_fwd",
         )
+        if return_state or state is not None:
+            if self.direction != "uni":
+                raise ValueError("streaming state requires a causal "
+                                 "(uni) mamba direction")
+            return fwd_block(x, state=state, return_state=True)
         if self.direction == "uni":
             return fwd_block(x)
         if self.direction != "bi":

@@ -105,3 +105,43 @@ def test_mha_streaming_kv_cache_matches_chunked_forward():
         np.asarray(ys)[0, :n], np.asarray(full)[0, :n],
         rtol=5e-4, atol=5e-4,
     )
+
+
+def test_mamba_block_state_carry():
+    from paper_accurate_fast_cheap_tpu.models.mamba import Mamba2Block
+
+    mod = Mamba2Block(d_model=32, headdim=16, d_state=16, chunk_size=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 32))
+    params = mod.init(jax.random.PRNGKey(1), x)
+    y_full = mod.apply(params, x)
+    y1, st = mod.apply(params, x[:, :10], None, True)
+    y2, _ = mod.apply(params, x[:, 10:], st, True)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate([y1, y2], 1)), np.asarray(y_full),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_mamba_streaming_equals_full_forward():
+    enc = ConformerEncoder(
+        input_size=16, output_size=32, attention_heads=2, linear_units=64,
+        num_blocks=2, selfattention_layer_type="mamba_att",
+        rwkv_conf={"rnn_att_direction": "uni"},
+        dropout_rate=0.0, positional_dropout_rate=0.0, causal=True,
+        input_layer="conv2d",
+    )
+    feats = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 16))
+    params = enc.init(jax.random.PRNGKey(4), feats, jnp.asarray([64]))
+    y_full, l_full = enc.apply(params, feats, jnp.asarray([64]))
+
+    def encoder_apply(xs, xs_lens, state, offset):
+        return enc.apply(params, xs, xs_lens, streaming_state=state,
+                         return_state=True, offset=offset)
+
+    ys, out_lens = streaming.forward_chunk_by_chunk(
+        encoder_apply, feats, 4)
+    n = int(out_lens[0])
+    np.testing.assert_allclose(
+        np.asarray(ys[0, :n]), np.asarray(y_full[0, :n]),
+        rtol=2e-3, atol=2e-3,
+    )
