@@ -24,17 +24,20 @@ class _Tok:
         return 11
 
 
-def _assets():
+def _assets(att="rwkv_tmix60"):
+    extras = {"rwkv_do_bfloat16": False, "wkv_chunk_size": 16}
+    if att == "mamba_att":
+        extras = {"rnn_att_direction": "uni"}
     config = {
         "model": "asr_model",
         "encoder": "conformer",
         "encoder_conf": dict(
             output_size=32, attention_heads=2, linear_units=64,
             num_blocks=2, dropout_rate=0.0, positional_dropout_rate=0.0,
-            selfattention_layer_type="rwkv_tmix60", causal=True,
+            selfattention_layer_type=att, causal=True,
             input_layer="conv2d", cnn_module_kernel=7,
             use_cnn_module=True,
-            rwkv_conf={"rwkv_do_bfloat16": False, "wkv_chunk_size": 16},
+            **extras,
         ),
         "decoder": None,
         "model_conf": {"ctc_weight": 1.0},
@@ -157,3 +160,27 @@ def test_streaming_websocket_mode():
         assert final == offline_text, (final, offline_text)
     finally:
         srv.shutdown()
+
+
+def test_streaming_session_mamba_family():
+    """The session covers the mamba_att (uni) family too."""
+    model, params, tok, featurize = _assets("mamba_att")
+    c, k = 8, 3
+    T = 4 * k * c + 20
+    n_samples = (T - 1) * 160 + 400
+    rng = np.random.RandomState(8)
+    wav = (rng.randn(n_samples) * 0.1).astype(np.float32)
+
+    feats, flens = featurize(jnp.asarray(wav[None]),
+                             jnp.asarray([len(wav)]), train=False)
+    enc, el = model.apply(params, feats, flens,
+                          method=model.forward_encoder)
+    logp = model.apply(params, enc, method=model.ctc_logprobs)
+    offline = search.ctc_greedy_search(np.asarray(logp),
+                                       np.asarray(el))[0].tokens
+
+    sess = make_session_factory(model, params, tok, featurize,
+                                decoding_chunk_size=c)()
+    for p in np.array_split(wav, 5):
+        sess.accept_waveform(p)
+    assert sess.finalize().tokens == offline
