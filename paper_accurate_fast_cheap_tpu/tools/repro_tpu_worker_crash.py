@@ -1,0 +1,151 @@
+"""Minimal repros for the three TPU-worker crashes observed in rounds 2-3.
+
+ISSUE NOTE (round 3).  Three distinct programs have killed the remote TPU
+worker process ("TPU worker process crashed or restarted", tunnel dead for
+50 min - 3.5 h).  No device logs are reachable through the relay, so the
+root cause cannot be pinned beyond the program shapes; this script freezes
+each failing program as a one-flag repro so the crash can be triaged the
+moment a debuggable TPU (or a libtpu with logs) is available.  None of
+these programs is on any default path today:
+
+1. ``--case v7_encoder``: the WKV v7 single-pass kernel
+   (`ops/wkv6_pallas.py:_kernel_v7`) run 24x inside the flagship encoder
+   at B=8, T=9000.  Standalone v7 at the same shape PASSES; only the
+   24-instance composition crashed (round 2, once; hung on retry).
+   Suspects: VMEM pressure from the carried-state scratch
+   (vmem_limit_bytes is raised to 100 MB) interacting with XLA's
+   scheduling of 24 back-to-back Mosaic calls.  v5 two-pass remains the
+   default (`wkv6_pallas(..., generation=5)`).
+
+2. ``--case pallas_lf``: the v5 kernel at long-form shapes on REAL data —
+   (4, 20000) windows from a decoded waveform crashed the worker twice
+   while the IDENTICAL program on zeros passed (round 3).  Data-dependent
+   crash at T>8192; chunked-XLA on the same tensors passes.  LF decode
+   pins `--wkv_impl chunked` (bin/recognize_wav.py); pallas stays default
+   only for T<=8192 (the tested SF envelope).
+
+3. ``--case sort_topk``: the retired full-sort beam — `lax.top_k` over
+   (64, 8, 5002) inside a 3000-step scan, whose output materialization
+   killed the worker once (round 3, 3.5 h outage).  The product beam now
+   uses the exact two-level chunked top-k (`decode/rnnt_search.top_k_vocab`)
+   and no full vocab sort exists on any decode path.
+
+Common thread: all three are large Mosaic/sort-heavy programs near the
+memory system's edge on this tunnel-attached v5 lite part.  WARNING: a
+successful repro COSTS THE CHIP — recovery has taken 50 min to 3.5 h.
+Run only when that price is acceptable:
+
+    python -m paper_accurate_fast_cheap_tpu.tools.repro_tpu_worker_crash \
+        --case v7_encoder --i-accept-worker-loss
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _require_tpu():
+    import jax
+
+    dev = jax.devices()[0]
+    if dev.platform == "cpu":
+        sys.exit("repro requires the TPU backend (crashes are TPU-only)")
+    return dev
+
+
+def case_v7_encoder():
+    # The round-2 crash was the flagship encoder (24 bidirectional WKV
+    # calls = 12 blocks x 2 directions) with version=7 at B=8, T=9000
+    # (pre-dating the T>8192 pallas->chunked gate in models/rwkv.py).
+    # Reproduce the program shape directly — 24 back-to-back v7 Mosaic
+    # calls with interleaved projections — bypassing the gate.
+    import jax
+    import jax.numpy as jnp
+
+    from paper_accurate_fast_cheap_tpu.ops.wkv6_pallas import wkv6_pallas
+
+    B, T, H, N = 8, 2250, 8, 64  # post-ds4 length of the 9000-frame window
+    D = H * N
+    keys = jax.random.split(jax.random.PRNGKey(0), 6)
+    x0 = jax.random.normal(keys[0], (B, T, D), jnp.bfloat16)
+    proj = jax.random.normal(keys[1], (24, D, 4 * D), jnp.bfloat16) * 0.02
+    u = jax.random.normal(keys[2], (H, N), jnp.bfloat16) * 0.1
+
+    @jax.jit
+    def run(x, pr, uu):
+        for i in range(24):
+            rkvw = (x @ pr[i]).reshape(B, T, 4, H, N)
+            r, k, v = rkvw[:, :, 0], rkvw[:, :, 1], rkvw[:, :, 2]
+            w = -jnp.abs(rkvw[:, :, 3].astype(jnp.float32)) - 0.5
+            y = wkv6_pallas(r.astype(jnp.float32), k.astype(jnp.float32),
+                            v.astype(jnp.float32), w, uu.astype(jnp.float32),
+                            version=7)
+            x = x + y.reshape(B, T, D).astype(jnp.bfloat16)
+        return x
+
+    out = run(x0, proj, u)
+    print("v7_encoder survived:", float(out.sum()))
+
+
+def case_pallas_lf():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from paper_accurate_fast_cheap_tpu.ops.wkv6_pallas import wkv6_pallas
+
+    B, T, H, N = 4, 20000, 8, 64
+    # REAL-ish data mattered: zeros passed, decoded audio crashed.  Use
+    # wide-dynamic-range values shaped like post-projection activations.
+    rng = np.random.RandomState(0)
+    mk = lambda scale: jnp.asarray(
+        (rng.randn(B, T, H, N) * scale).astype(np.float32))
+    r, k, v = mk(1.0), mk(0.5), mk(4.0)
+    w = jnp.asarray(-np.abs(rng.randn(B, T, H, N) * 2.0 + 2.0)
+                    .astype(np.float32))
+    u = jnp.asarray((rng.randn(H, N) * 0.1).astype(np.float32))
+    y = jax.jit(wkv6_pallas)(r, k, v, w, u)
+    print("pallas_lf survived:", float(y.sum()))
+
+
+def case_sort_topk():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    B, BEAM, V, STEPS = 64, 8, 5002, 3000
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (B, BEAM, V),
+                           jnp.float32)
+
+    @jax.jit
+    def run(x):
+        def body(carry, _):
+            vals, idx = lax.top_k(carry, BEAM)
+            nxt = carry * 0.999 + jnp.sum(vals, -1, keepdims=True) * 1e-6
+            return nxt, idx
+        return lax.scan(body, x, None, length=STEPS)
+
+    final, idxs = run(x0)
+    print("sort_topk survived:", float(final.sum()), idxs.shape)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", required=True,
+                    choices=["v7_encoder", "pallas_lf", "sort_topk"])
+    ap.add_argument("--i-accept-worker-loss", action="store_true")
+    args = ap.parse_args()
+    if not args.i_accept_worker_loss:
+        sys.exit("refusing: pass --i-accept-worker-loss (recovery takes "
+                 "50 min - 3.5 h if the repro succeeds)")
+    _require_tpu()
+    t0 = time.time()
+    {"v7_encoder": case_v7_encoder,
+     "pallas_lf": case_pallas_lf,
+     "sort_topk": case_sort_topk}[args.case]()
+    print(f"done in {time.time() - t0:.1f}s (no crash this run)")
+
+
+if __name__ == "__main__":
+    main()
