@@ -27,10 +27,19 @@ MODELS = {
     "mha_12L": "bench_mha_ds4k31nc_12le.yaml",
     "mamba2_bi_12L": "bench_mamba_bi_ds4k31nc_12le.yaml",
     "mha_lca256_gt_12L": "bench_mha_lca256_gt_ds4k31nc_12le.yaml",
+    # deeper variants mirror the reference's 18/24/30-layer model axis
+    # (go-run-encoder-rtf.single-gpu-3x3-g5.sh:59-107)
+    "rwkv_bi_18L": "bench_rwkvbi_ds4k31nc_18le.yaml",
+    "rwkv_bi_24L": "bench_rwkvbi_ds4k31nc_24le.yaml",
+    "rwkv_bi_30L": "bench_rwkvbi_ds4k31nc_30le.yaml",
+    "mha_24L": "bench_mha_ds4k31nc_24le.yaml",
 }
 # full self-attention is O(T^2): cap MHA chunks like the reference caps its
 # per-model sweep ranges
-CHUNK_CAP = {"mha_12L": 40000}
+CHUNK_CAP = {"mha_12L": 40000, "mha_24L": 40000}
+# the remote compile service has taken 7-10 min per fresh mamba program
+# (r2 timeouts); give those combos headroom
+TIMEOUT_OVERRIDE = {"mamba2_bi_12L": 2400}
 
 
 def main(argv=None):
@@ -67,7 +76,8 @@ def main(argv=None):
                     print("RUN", name, f"b={b} c={c}", flush=True)
                     try:
                         r = subprocess.run(
-                            cmd, cwd=REPO, timeout=args.timeout,
+                            cmd, cwd=REPO,
+                            timeout=TIMEOUT_OVERRIDE.get(name, args.timeout),
                             capture_output=True, text=True)
                         if r.returncode != 0:
                             failures.append((name, b, c,
@@ -105,6 +115,13 @@ def main(argv=None):
         for name, b, c, why in failures:
             lines.append(f"- {name} b={b} c={c}: {why.splitlines()[-1] if why else 'failed'}")
     md = "\n".join(lines) + "\n"
+    # curated non-table sections (methodology notes, decode/train tables)
+    # live in docs/bench_sweep_appendix.md so re-running the sweep never
+    # destroys them
+    appendix = os.path.join(REPO, "docs/bench_sweep_appendix.md")
+    if os.path.exists(appendix):
+        with open(appendix) as f:
+            md += "\n" + f.read()
     with open(os.path.join(REPO, "BENCH_SWEEP.md"), "w") as f:
         f.write(md)
     print(md)
