@@ -181,6 +181,17 @@ def main(argv=None):
         logging.info("pipeline parallelism: %d stages over %s",
                      args.pp_stages, pp_mesh.devices)
 
+    # mixed precision: config `dtype: bf16` (the reference's deepspeed
+    # config key; its AMP analog is train_utils.py use_amp) runs the
+    # forward/backward with bf16-cast params over fp32 master weights
+    train_dtype = str(config.get("dtype", "fp32")).lower()
+    if train_dtype in ("bf16", "bfloat16"):
+        loss_fn = ts.wrap_mixed_precision(loss_fn)
+        logging.info("mixed precision: bf16 compute over fp32 master")
+    elif train_dtype not in ("fp32", "float32"):
+        raise SystemExit(f"unsupported dtype {train_dtype!r} "
+                         "(fp32 or bf16)")
+
     step_fn = ts.make_train_step(
         loss_fn, optimizer,
         accum_steps=config.get("accum_grad", 1),

@@ -36,8 +36,11 @@ def get_args(argv=None):
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--bf16", action="store_true", default=False,
-                   help="bf16 params (training default is f32 + bf16 "
-                        "compute inside)")
+                   help="bf16 params end-to-end (no fp32 master; "
+                        "measures the raw bf16 ceiling)")
+    p.add_argument("--mixed_precision", action="store_true", default=False,
+                   help="bf16 compute over fp32 master weights "
+                        "(config `dtype: bf16`, the production mode)")
     p.add_argument("--output", default=None)
     return p.parse_args(argv)
 
@@ -86,6 +89,9 @@ def main(argv=None):
                           rngs={"dropout": step_rng})
         return out["loss"], {}
 
+    if args.mixed_precision:
+        loss_fn = ts.wrap_mixed_precision(loss_fn)
+
     accum = args.accum_grad or config.get("accum_grad", 1)
     step_fn = jax.jit(ts.make_train_step(
         loss_fn, optimizer, accum_steps=accum,
@@ -129,6 +135,8 @@ def main(argv=None):
         f"audio_hours_per_compute_hour {audio_hours_per_hour:.1f}",
         f"frames_per_sec {frames_per_s:.0f}",
         f"batch {B} frames {T} labels {U} accum {accum}",
+        "precision " + ("bf16" if args.bf16 else
+                        "mixed_bf16" if args.mixed_precision else "fp32"),
         f"final_loss {loss_v:.3f}",
         f"warmup_plus_compile_s {compile_s:.2f}",
         f"device {jax.devices()[0]}",

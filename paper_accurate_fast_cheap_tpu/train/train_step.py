@@ -71,6 +71,32 @@ def restrict_learning_mask(params, exclude: str = None, include: str = None):
     )
 
 
+def wrap_mixed_precision(loss_fn: Callable,
+                         compute_dtype=jnp.bfloat16) -> Callable:
+    """bf16-compute mixed precision around a loss function.
+
+    Master weights stay fp32 in the optimizer; the forward/backward runs
+    with params cast to ``compute_dtype`` (flax Dense promotes
+    input/param dtypes, so fp32 params silently force fp32 matmuls — on
+    the TPU that is ~50x slower than bf16 for the flagship encoder,
+    NOTES.md round-3 LF findings).  Autodiff through the cast returns
+    fp32 gradients; the loss is upcast so the clip/skip logic and metric
+    accumulation stay fp32.  The reference's analog is torch AMP
+    (`wenet/utils/train_utils.py` use_amp / deepspeed ``dtype:``); bf16
+    needs no loss scaling (fp32-equal exponent range).
+    """
+
+    def mixed(params, batch, rng):
+        p16 = jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            params)
+        loss, metrics = loss_fn(p16, batch, rng)
+        return loss.astype(jnp.float32), metrics
+
+    return mixed
+
+
 def make_train_step(
     loss_fn: Callable,
     optimizer,
