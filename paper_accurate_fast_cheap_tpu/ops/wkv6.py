@@ -232,6 +232,253 @@ def wkv6_chunked(
     return y
 
 
+# ---------------------------------------------------------------------------
+# Analytic custom-VJP backward for the chunked path (training hot path).
+#
+# The reference hand-writes four backward CUDA scan kernels
+# (`wenet/rwkv_v6/cuda/wkv6_cuda.cu:66-263`).  The TPU-native equivalent
+# exploits two structural facts:
+#
+#   1. The adjoint of the state recurrence  S_t = diag(l_t) S_{t-1} + k_t v_t^T
+#      is itself a forward-form recurrence run backwards in time:
+#          Ghat_{t-1} = diag(l_t) Ghat_t + r_t ybar_t^T
+#      so the whole adjoint-state sequence is computable by the SAME
+#      two-level chunked machinery on time-flipped inputs (k-role <- r,
+#      v-role <- ybar).
+#
+#   2. Every input gradient is a per-step contraction of either the forward
+#      state S_{t-1} or the adjoint state Ghat_t:
+#          rbar_t = S_{t-1} ybar_t + (u*k_t) <ybar_t, v_t>
+#          kbar_t = Ghat_t v_t    + (u*r_t) <ybar_t, v_t>
+#          vbar_t = Ghat_t^T k_t  + <r_t, u*k_t> ybar_t
+#      and the decay gradient telescopes: with g_t = log decay_t = -exp(w_t),
+#      P_t = r_t * (S_{t-1} ybar_t), Q_t = k_t * (Ghat_t v_t),
+#          dL/dg_tau = sum_{t>tau} P_t + P_fin - sum_{s>=tau} Q_s
+#                    = revcumsum(P - Q)_tau - P_tau + P_fin
+#      where P_fin = rowsum(Gbar_T * S_T) covers the final-state cotangent
+#      (proof: classify every (source s, output t) pair by whether
+#      tau in [s+1, t-1]; the two cumulative sums remove exactly the
+#      pairs with tau >= t and tau <= s).
+#
+# So the backward is TWO calls of one generalized chunked core
+# (`_chunked_dual`, which emits both the i-contraction y and the
+# j-contraction z of the running state) plus elementwise algebra — same
+# asymptotic cost as the forward, and the only residuals are the primal
+# inputs (XLA autodiff through `wkv6_chunked` stores ~10 (B,T,H,N)
+# intermediates per call as residuals; on a bandwidth-bound chip that
+# traffic, not FLOPs, is the cost).
+# ---------------------------------------------------------------------------
+
+
+def _revcumsum(x, axis):
+    return jnp.flip(jnp.cumsum(jnp.flip(x, axis), axis), axis)
+
+
+def _chunked_dual(rf, kf, vf, ybf, wf, S0, chunk_size, inner_size, cd):
+    """Two-level chunked evaluation of BOTH state contractions.
+
+    All inputs fp32; S0 is the (B, H, N, N) initial state (adjoint seeds
+    enter here on the flipped call).  Returns (y_nb, z, S_fin):
+
+      y_nb[t, i] = sum_j r_t[j] S_{t-1}[j, i]    (forward y minus u-bonus)
+      z[t, j]    = sum_i S_{t-1}[j, i] ybar_t[i]
+      S_fin      = S_T
+
+    ``cd`` is the factor-tensor compute dtype (bf16 mirrors the forward's
+    policy for bf16 inputs; accumulation is always fp32).  Unused outputs
+    are dead-code-eliminated by XLA, so callers needing only one
+    contraction pay only for that one.
+    """
+    B, T, H, N = rf.shape
+    L = int(chunk_size)
+    S_ = min(int(inner_size), L)
+    nb = L // S_
+    pad = (-T) % L
+    if pad:
+        zpad = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        rf, kf, vf, ybf = zpad(rf), zpad(kf), zpad(vf), zpad(ybf)
+        wf = jnp.pad(wf, ((0, 0), (0, pad), (0, 0), (0, 0)),
+                     constant_values=-jnp.inf)
+    Tp = T + pad
+    C = Tp // L
+    w_clamp = float(np.log(160.0 / (S_ + 2)))
+    wf = jnp.minimum(wf, w_clamp)
+
+    shp = (B, C, nb, S_, H, N)
+    perm = (0, 4, 1, 2, 3, 5)  # -> (B, H, C, nb, S, N)
+    rc = rf.reshape(shp).transpose(perm)
+    kc = kf.reshape(shp).transpose(perm)
+    vc = vf.reshape(shp).transpose(perm)
+    yc = ybf.reshape(shp).transpose(perm)
+    wc = wf.reshape(shp).transpose(perm)
+
+    lw = -jnp.exp(wc)
+    Bi = jnp.cumsum(lw, axis=-2)
+    Be = Bi - lw
+    total = Bi[..., -1, :]
+    pfx_incl = jnp.cumsum(total, axis=-2)
+    pfx_excl = pfx_incl - total
+
+    f32 = jnp.float32
+    vc_c = vc.astype(cd)
+    yc_c = yc.astype(cd)
+    tri = jnp.tril(jnp.ones((S_, S_), bool), k=-1)
+
+    # ---- intra (within inner block), midpoint-recentred, exact
+    m = Bi[..., S_ // 2 : S_ // 2 + 1, :]
+    eq = jnp.exp(Be - m)                       # bare query-side decay
+    q_mid = (rc * eq).astype(cd)
+    k_mid = (kc * jnp.exp(m - Bi)).astype(cd)
+    A = jnp.einsum("...tn,...sn->...ts", q_mid, k_mid,
+                   preferred_element_type=f32)
+    A = jnp.where(tri, A, 0.0)
+    y_intra = jnp.einsum("...ts,...sn->...tn", A.astype(cd), vc_c,
+                         preferred_element_type=f32)
+    Bmat = jnp.einsum("...tp,...sp->...ts", yc_c, vc_c,
+                      preferred_element_type=f32)
+    Bmat = jnp.where(tri, Bmat, 0.0)
+    z_intra = eq * jnp.einsum("...ts,...sn->...tn", Bmat.astype(cd), k_mid,
+                              preferred_element_type=f32)
+
+    # ---- between inner blocks (same outer chunk)
+    e2 = jnp.exp(Be)
+    q2 = rc * e2
+    k2 = kc * jnp.exp(total[..., None, :] - Bi)
+    KV = jnp.einsum("...sn,...sp->...np", k2.astype(cd), vc_c,
+                    preferred_element_type=f32)
+    D = jnp.exp(
+        jnp.clip(pfx_excl[..., :, None, :] - pfx_incl[..., None, :, :],
+                 None, 0.0)
+    )
+    blk_tri = jnp.tril(jnp.ones((nb, nb), bool), k=-1)
+    D = jnp.where(blk_tri[..., None], D, 0.0)
+    M = jnp.einsum("...ijn,...jnp->...inp", D, KV,
+                   preferred_element_type=f32)
+    y_between = jnp.einsum("...isn,...inp->...isp", q2.astype(cd),
+                           M.astype(cd), preferred_element_type=f32)
+    z_between = e2 * jnp.einsum("...inp,...isp->...isn", M.astype(cd),
+                                yc_c, preferred_element_type=f32)
+
+    # ---- across outer chunks
+    eg = e2 * jnp.exp(pfx_excl)[..., None, :]
+    outer_total = pfx_incl[..., -1, :]
+    k_tail = k2 * jnp.exp(
+        outer_total[..., None, None, :] - pfx_incl[..., None, :]
+    )
+    flat = lambda x, d: x.astype(d).reshape(B, H, C, L, N)
+    q_glob_f = flat(rc * eg, cd)
+    eg_f = flat(eg, f32)
+    k_tail_f = flat(k_tail, cd)
+    v_f = flat(vc, cd)
+    yb_f = flat(yc, cd)
+
+    def chunk_step(Sc, inp):
+        q_c, e_c, k_c, v_c, yb_c, ot = inp
+        y_cross = jnp.einsum("bhtj,bhji->bhti", q_c, Sc.astype(cd),
+                             preferred_element_type=f32)
+        z_cross = e_c * jnp.einsum("bhjp,bhtp->bhtj", Sc.astype(cd), yb_c,
+                                   preferred_element_type=f32)
+        S_new = jnp.exp(ot)[..., None] * Sc + jnp.einsum(
+            "bhsj,bhsi->bhji", k_c, v_c, preferred_element_type=f32
+        )
+        return S_new, (y_cross, z_cross)
+
+    scan_inps = tuple(
+        jnp.moveaxis(x, 2, 0)
+        for x in (q_glob_f, eg_f, k_tail_f, v_f, yb_f)
+    ) + (jnp.moveaxis(outer_total, 2, 0),)
+    S_fin, (y_cross, z_cross) = jax.lax.scan(chunk_step, S0, scan_inps)
+    y_cross = jnp.moveaxis(y_cross, 0, 2).reshape(B, H, C, nb, S_, N)
+    z_cross = jnp.moveaxis(z_cross, 0, 2).reshape(B, H, C, nb, S_, N)
+
+    unblock = lambda x: x.transpose(0, 2, 3, 4, 1, 5).reshape(
+        B, Tp, H, N)[:, :T]
+    y_nb = unblock(y_intra + y_between + y_cross)
+    z = unblock(z_intra + z_between + z_cross)
+    return y_nb, z, S_fin
+
+
+def wkv6_backward(r, k, v, w, u, state, yb, Gbar, chunk_size=256,
+                  inner_size=16):
+    """Analytic gradients of `wkv6_chunked` (see derivation block above).
+
+    yb: cotangent of y (B, T, H, N); Gbar: cotangent of the final state
+    (B, H, N, N) or None.  Returns (dr, dk, dv, dw, du, dstate) with
+    dstate=None when `state` is None.  fp32 math; grads cast to the input
+    dtypes.
+    """
+    B, T, H, N = r.shape
+    rf, kf, vf, wf, uf, ybf = _as_f32(r, k, v, w, u, yb)
+    cd = jnp.bfloat16 if r.dtype == jnp.bfloat16 else jnp.float32
+    S0 = (jnp.zeros((B, H, N, N), jnp.float32) if state is None
+          else state.astype(jnp.float32))
+    G_T = (jnp.zeros((B, H, N, N), jnp.float32) if Gbar is None
+           else Gbar.astype(jnp.float32))
+
+    # straight pass: z_t = S_{t-1} ybar_t, and the final state S_T
+    _, z, S_T = _chunked_dual(rf, kf, vf, ybf, wf, S0,
+                              chunk_size, inner_size, cd)
+    # flipped pass: adjoint states.  b_t = Ghat_t^T k_t comes out as the
+    # y-contraction, a_t = Ghat_t v_t as the z-contraction.
+    fl = lambda x: jnp.flip(x, axis=1)
+    b_f, a_f, G0 = _chunked_dual(fl(kf), fl(rf), fl(ybf), fl(vf), fl(wf),
+                                 G_T, chunk_size, inner_size, cd)
+    b, a = fl(b_f), fl(a_f)
+
+    dyv = jnp.sum(ybf * vf, axis=-1, keepdims=True)       # <ybar_t, v_t>
+    ub = uf[None, None]                                   # (1,1,H,N)
+    dr = z + ub * kf * dyv
+    dk = a + ub * rf * dyv
+    dv = b + jnp.sum(rf * ub * kf, axis=-1, keepdims=True) * ybf
+    du = jnp.sum(rf * kf * dyv, axis=(0, 1))
+
+    P = rf * z
+    Q = kf * a
+    P_fin = jnp.sum(G_T * S_T, axis=-1)                   # (B, H, N)
+    dg = _revcumsum(P - Q, axis=1) - P + P_fin[:, None]
+    # g = -exp(min(w, clamp)): zero grad where the forward clamp binds
+    w_clamp = float(np.log(160.0 / (min(inner_size, chunk_size) + 2)))
+    dw = jnp.where(wf <= w_clamp, dg * (-jnp.exp(wf)), 0.0)
+
+    dstate = None if state is None else G0.astype(state.dtype)
+    return (dr.astype(r.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dw.astype(w.dtype), du.astype(u.dtype), dstate)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _wkv6_chunked_cv(r, k, v, w, u, state, chunk_size, inner_size,
+                     return_state):
+    return wkv6_chunked(r, k, v, w, u, state=state, chunk_size=chunk_size,
+                        inner_size=inner_size, return_state=return_state)
+
+
+def _cv_fwd(r, k, v, w, u, state, chunk_size, inner_size, return_state):
+    out = wkv6_chunked(r, k, v, w, u, state=state, chunk_size=chunk_size,
+                       inner_size=inner_size, return_state=return_state)
+    return out, (r, k, v, w, u, state)
+
+
+def _cv_bwd(chunk_size, inner_size, return_state, res, g):
+    r, k, v, w, u, state = res
+    yb, Gbar = g if return_state else (g, None)
+    return wkv6_backward(r, k, v, w, u, state, yb, Gbar,
+                         chunk_size=chunk_size, inner_size=inner_size)
+
+
+_wkv6_chunked_cv.defvjp(_cv_fwd, _cv_bwd)
+
+
+def wkv6_chunked_vjp(r, k, v, w, u, state=None, chunk_size: int = 256,
+                     inner_size: int = 16, return_state: bool = False):
+    """`wkv6_chunked` with the analytic backward attached (training path).
+
+    Forward-identical to :func:`wkv6_chunked`; gradients come from
+    :func:`wkv6_backward` instead of XLA autodiff, so no intra-chunk
+    intermediates are saved as residuals (only the primal inputs are)."""
+    return _wkv6_chunked_cv(r, k, v, w, u, state, chunk_size, inner_size,
+                            return_state)
+
+
 def wkv6(
     r: jax.Array,
     k: jax.Array,
@@ -244,9 +491,10 @@ def wkv6(
     impl: str = "chunked",
     pallas_version: Optional[int] = None,
 ):
-    """Dispatching entry point. impl: 'chunked' (default) | 'ref' | 'pallas'.
-    pallas_version overrides the pallas kernel generation (None = its
-    default)."""
+    """Dispatching entry point. impl: 'chunked' (default; analytic custom-VJP
+    backward) | 'chunked_ad' (XLA-autodiff backward, kept as the gradient
+    oracle) | 'ref' | 'pallas'.  pallas_version overrides the pallas kernel
+    generation (None = its default)."""
     if impl == "ref":
         return wkv6_ref(r, k, v, w, u, state=state, return_state=return_state)
     if impl == "pallas":
@@ -257,9 +505,14 @@ def wkv6(
             r, k, v, w, u, state=state, chunk_size=chunk_size,
             return_state=return_state, **kw,
         )
+    if impl == "chunked_ad":
+        return wkv6_chunked(
+            r, k, v, w, u, state=state, chunk_size=chunk_size,
+            return_state=return_state,
+        )
     if impl != "chunked":
         raise ValueError(f"unknown wkv6 impl: {impl!r}")
-    return wkv6_chunked(
+    return wkv6_chunked_vjp(
         r, k, v, w, u, state=state, chunk_size=chunk_size,
         return_state=return_state,
     )

@@ -19,8 +19,10 @@ chain anywhere —
     reference needs a separate wkv6state CUDA kernel for this,
     `wkv6state_cuda.cu:8-25`).
 
-Backward: custom_vjp that recomputes through the differentiable XLA chunked
-path (the kernel is the inference/bench fast path; training uses autodiff).
+Backward: custom_vjp into the analytic chunked backward
+(`ops/wkv6.wkv6_backward` — two chunked passes, no stored intermediates),
+so the pallas forward composes with training at the same gradient cost as
+the default chunked path.
 
 Status (v5e, B=8, T=2250, H=8, N=64 bf16): v5 = 1.82 ms/call vs v4
 2.5-2.9 ms (1.4x), encoder bench 6747 -> 7698 x realtime.  Ablation shows
@@ -1094,15 +1096,12 @@ def _diff_fwd(r, k, v, w, u, state, chunk_size, return_state, version=6):
 
 
 def _diff_bwd(chunk_size, return_state, version, res, g):
-    from paper_accurate_fast_cheap_tpu.ops.wkv6 import wkv6_chunked
+    from paper_accurate_fast_cheap_tpu.ops.wkv6 import wkv6_backward
 
     r, k, v, w, u, state = res
-    _, vjp = jax.vjp(
-        lambda *a: wkv6_chunked(*a, chunk_size=chunk_size,
-                                return_state=return_state),
-        r, k, v, w, u, state,
-    )
-    return vjp(g)
+    yb, gbar = g if return_state else (g, None)
+    return wkv6_backward(r, k, v, w, u, state, yb, gbar,
+                         chunk_size=chunk_size)
 
 
 _wkv6_pallas_diff.defvjp(_diff_fwd, _diff_bwd)
