@@ -151,10 +151,181 @@ def ssd_chunked(x, dt, A, B, C, D=None, state=None, chunk_size: int = 64,
     return y
 
 
+# ---------------------------------------------------------------------------
+# Analytic custom-VJP backward (mirrors `ops/wkv6.wkv6_backward`; the
+# reference's `mamba_ssm` ships hand-written Triton backward kernels).
+#
+# With u_t = dt_t * b_t the recurrence is S_t = a_t S_{t-1} + u_t x_t^T and
+# y_t = S_t^T c_t + D x_t (POST-update state, unlike WKV6).  The adjoint
+#     Ghat_t = a_{t+1} Ghat_{t+1} + c_t ybar_t^T
+# decays on the NEXT index, so under time reversal it is the same forward
+# form with the decay sequence flipped and shifted by one:
+#     F_s = ahat_s F_{s-1} + e~_s,   ahat = [1, flip(a)[:-1]],  F_0 = Sbar_T.
+# Gradients are per-step contractions of S_t or Ghat_t:
+#     cbar_t = S_t ybar_t            ubar_t = Ghat_t x_t
+#     xbar_t = Ghat_t^T u_t + D ybar_t
+# and the scalar log-decay gradient telescopes (pairs (s, t) carry decay
+# over tau in [s+1, t], so classifying pairs by tau gives):
+#     dla_tau = revcumsum(P - Q)_tau + P_fin,
+#     P_t = <c_t, cbar_t>, Q_s = <u_s, ubar_s>, P_fin = <Sbar_T, S_T>_F.
+# Both passes run through ONE dual core below; residuals are the primal
+# inputs only.
+# ---------------------------------------------------------------------------
+
+
+def _revcumsum(x, axis):
+    return jnp.flip(jnp.cumsum(jnp.flip(x, axis), axis), axis)
+
+
+def _ssd_dual(u, x, la, q, p, S0, chunk_size):
+    """Chunked evaluation of both post-update state contractions.
+
+    Recurrence S_t = exp(la_t) S_{t-1} + u_t x_t^T with S_0 = S0.  Returns
+      yA[t, p'] = sum_n q_t[n] S_t[n, p']     (y-like probe over N)
+      yB[t, n]  = sum_p' S_t[n, p'] p_t[p']   (z-like probe over P)
+      S_fin.
+    u, q: (Bt, T, H, N) fp32 (heads already group-repeated);
+    x, p: (Bt, T, H, P); la: (Bt, T, H) log decays; S0: (Bt, H, N, P).
+    Unused outputs are dead-code-eliminated under jit.
+    """
+    Bt, T, H, P = x.shape
+    N = u.shape[-1]
+    L = int(chunk_size)
+    pad = (-T) % L
+    if pad:
+        pad4 = lambda z: jnp.pad(z, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        u, x, q, p = pad4(u), pad4(x), pad4(q), pad4(p)
+        la = jnp.pad(la, ((0, 0), (0, pad), (0, 0)))
+    Tp = T + pad
+    NC = Tp // L
+
+    uc = u.reshape(Bt, NC, L, H, N).transpose(0, 3, 1, 2, 4)
+    xc = x.reshape(Bt, NC, L, H, P).transpose(0, 3, 1, 2, 4)
+    qc = q.reshape(Bt, NC, L, H, N).transpose(0, 3, 1, 2, 4)
+    pc = p.reshape(Bt, NC, L, H, P).transpose(0, 3, 1, 2, 4)
+    lac = la.reshape(Bt, NC, L, H).transpose(0, 3, 1, 2)   # (Bt,H,NC,L)
+
+    decay = jnp.exp(_segsum(lac))                          # (Bt,H,NC,L,L)
+    qu = jnp.einsum("bhctn,bhcsn->bhcts", qc, uc)
+    yA_intra = jnp.einsum("bhcts,bhcsp->bhctp", qu * decay, xc)
+    px = jnp.einsum("bhctp,bhcsp->bhcts", pc, xc)
+    yB_intra = jnp.einsum("bhcts,bhcsn->bhctn", px * decay, uc)
+
+    Lcum = jnp.cumsum(lac, axis=-1)
+    efrom = jnp.exp(Lcum)[..., None]                       # decay from start
+    q_in = qc * efrom
+    p_in = pc * efrom
+    u_tail = uc * jnp.exp(Lcum[..., -1:] - Lcum)[..., None]
+
+    def chunk_step(S, inp):
+        q_i, p_i, u_tl, x_c, llast = inp
+        yA_cross = jnp.einsum("bhtn,bhnp->bhtp", q_i, S)
+        yB_cross = jnp.einsum("bhnp,bhtp->bhtn", S, p_i)
+        S_new = jnp.exp(llast)[..., None, None] * S + jnp.einsum(
+            "bhsn,bhsp->bhnp", u_tl, x_c
+        )
+        return S_new, (yA_cross, yB_cross)
+
+    scan_inps = (
+        jnp.moveaxis(q_in, 2, 0), jnp.moveaxis(p_in, 2, 0),
+        jnp.moveaxis(u_tail, 2, 0), jnp.moveaxis(xc, 2, 0),
+        jnp.moveaxis(Lcum[..., -1], 2, 0),
+    )
+    S_fin, (yA_cross, yB_cross) = jax.lax.scan(chunk_step, S0, scan_inps)
+    yA = yA_intra + jnp.moveaxis(yA_cross, 0, 2)
+    yB = yB_intra + jnp.moveaxis(yB_cross, 0, 2)
+    unb = lambda z, d: z.transpose(0, 2, 3, 1, 4).reshape(
+        Bt, Tp, H, d)[:, :T]
+    return unb(yA, P), unb(yB, N), S_fin
+
+
+def ssd_backward(x, dt, A, B, C, D, state, yb, Gbar, chunk_size=64):
+    """Analytic gradients of `ssd_chunked` (derivation above).
+
+    yb: cotangent of y (Bt, T, H, P); Gbar: cotangent of the final state
+    (Bt, H, N, P) or None.  Returns (dx, ddt, dA, dB, dC, dD, dstate)
+    with dD/dstate None when the primal D/state were None."""
+    Bt, T, H, P = x.shape
+    G, N = B.shape[2], B.shape[3]
+    rep = H // G
+    xf, dtf, Af, Bf, Cf, ybf = _as_f32(x, dt, A, B, C, yb)
+    Bh = jnp.repeat(Bf, rep, axis=2)
+    Ch = jnp.repeat(Cf, rep, axis=2)
+    la = dtf * Af[None, None, :]                       # (Bt,T,H)
+    u = Bh * dtf[..., None]                            # discretized input
+    S0 = (jnp.zeros((Bt, H, N, P), jnp.float32) if state is None
+          else state.astype(jnp.float32))
+    G_T = (jnp.zeros((Bt, H, N, P), jnp.float32) if Gbar is None
+           else Gbar.astype(jnp.float32))
+
+    # straight pass: cbar_t = S_t ybar_t (probe over P), and S_T
+    _, cbar, S_T = _ssd_dual(u, xf, la, Ch, ybf, S0, chunk_size)
+    # flipped pass: adjoint states.  xbar-part comes out as the yA probe
+    # (q = flip(u)), ubar as the yB probe (p = flip(x)).
+    fl = lambda z: jnp.flip(z, axis=1)
+    la_hat = jnp.concatenate(
+        [jnp.zeros_like(la[:, :1]), fl(la)[:, :-1]], axis=1)
+    xbar_f, ubar_f, F_T = _ssd_dual(fl(Ch), fl(ybf), la_hat, fl(u), fl(xf),
+                                    G_T, chunk_size)
+    xbar_s = fl(xbar_f)                                # Ghat_t^T u_t
+    ubar = fl(ubar_f)                                  # Ghat_t x_t
+
+    dx = xbar_s + (0.0 if D is None
+                   else ybf * D.astype(jnp.float32)[None, None, :, None])
+    dB_h = ubar * dtf[..., None]                       # per repeated head
+    dB = dB_h.reshape(Bt, T, G, rep, N).sum(axis=3)
+    dC = cbar.reshape(Bt, T, G, rep, N).sum(axis=3)
+
+    P_t = jnp.einsum("bthn,bthn->bth", Ch, cbar)
+    Q_t = jnp.einsum("bthn,bthn->bth", u, ubar)
+    P_fin = jnp.einsum("bhnp,bhnp->bh", G_T, S_T)
+    dla = _revcumsum(P_t - Q_t, axis=1) + P_fin[:, None]
+    ddt = (jnp.einsum("bthn,bthn->bth", Bh, ubar)
+           + dla * Af[None, None, :])
+    dA = jnp.sum(dla * dtf, axis=(0, 1))
+    dD = (None if D is None
+          else jnp.einsum("bthp,bthp->h", ybf, xf).astype(D.dtype))
+    # Ghat_0 = a_1 Ghat_1; the flipped pass's final state is Ghat_1
+    dstate = (None if state is None else
+              (jnp.exp(la[:, 0])[..., None, None] * F_T).astype(state.dtype))
+    return (dx.astype(x.dtype), ddt.astype(dt.dtype), dA.astype(A.dtype),
+            dB.astype(B.dtype), dC.astype(C.dtype), dD, dstate)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _ssd_cv(x, dt, A, B, C, D, state, chunk_size, return_state):
+    return ssd_chunked(x, dt, A, B, C, D, state, chunk_size, return_state)
+
+
+def _ssd_cv_fwd(x, dt, A, B, C, D, state, chunk_size, return_state):
+    out = ssd_chunked(x, dt, A, B, C, D, state, chunk_size, return_state)
+    return out, (x, dt, A, B, C, D, state)
+
+
+def _ssd_cv_bwd(chunk_size, return_state, res, g):
+    x, dt, A, B, C, D, state = res
+    yb, Gbar = g if return_state else (g, None)
+    return ssd_backward(x, dt, A, B, C, D, state, yb, Gbar,
+                        chunk_size=chunk_size)
+
+
+_ssd_cv.defvjp(_ssd_cv_fwd, _ssd_cv_bwd)
+
+
+def ssd_chunked_vjp(x, dt, A, B, C, D=None, state=None, chunk_size: int = 64,
+                    return_state: bool = False):
+    """`ssd_chunked` with the analytic backward attached (training path)."""
+    return _ssd_cv(x, dt, A, B, C, D, state, chunk_size, return_state)
+
+
 def ssd(x, dt, A, B, C, D=None, state=None, chunk_size: int = 64,
         return_state: bool = False, impl: str = "chunked"):
     if impl == "ref":
         return ssd_ref(x, dt, A, B, C, D, state, return_state)
+    if impl == "chunked_ad":
+        return ssd_chunked(x, dt, A, B, C, D, state, chunk_size,
+                           return_state)
     if impl != "chunked":
         raise ValueError(f"unknown ssd impl: {impl!r}")
-    return ssd_chunked(x, dt, A, B, C, D, state, chunk_size, return_state)
+    return ssd_chunked_vjp(x, dt, A, B, C, D, state, chunk_size,
+                           return_state)

@@ -114,7 +114,7 @@ def wkv6_sp_body(rs, ks, vs, ws, us, axis: str, state=None,
     # from it while the inputs are per-shard).
     zero = jax.lax.pcast(
         jnp.zeros((Bs, H, N, N), jnp.float32), axis, to="varying")
-    _, B_loc = wkv6_ops.wkv6_chunked(
+    _, B_loc = wkv6_ops.wkv6_chunked_vjp(
         rs, ks, vs, ws, us, state=zero, chunk_size=chunk_size,
         inner_size=inner_size, return_state=True)
     A_loc = _shard_summary_decay(ws, inner_size)
@@ -134,7 +134,7 @@ def wkv6_sp_body(rs, ks, vs, ws, us, axis: str, state=None,
     # after the loop S_in = state after the last shard (global final)
 
     # 3. replay from the true incoming state
-    out = wkv6_ops.wkv6_chunked(
+    out = wkv6_ops.wkv6_chunked_vjp(
         rs, ks, vs, ws, us, state=S_mine, chunk_size=chunk_size,
         inner_size=inner_size, return_state=False)
     if return_state:
@@ -205,7 +205,7 @@ def ssd_sp_body(x, dt, A, B, C, D, axis: str, state=None,
         state = jnp.zeros((Bt, H, N, P), jnp.float32)
     zero = jax.lax.pcast(
         jnp.zeros((Bt, H, N, P), jnp.float32), axis, to="varying")
-    _, S_loc = ssd_ops.ssd_chunked(
+    _, S_loc = ssd_ops.ssd_chunked_vjp(
         x, dt, A, B, C, None, state=zero, chunk_size=chunk_size,
         return_state=True)
     a_loc = jnp.exp(
@@ -221,7 +221,7 @@ def ssd_sp_body(x, dt, A, B, C, D, axis: str, state=None,
         S_in = a_all[j][..., None, None] * S_in + S_all[j]
         S_mine = jnp.where(j < idx, S_in, S_mine)
 
-    out = ssd_ops.ssd_chunked(
+    out = ssd_ops.ssd_chunked_vjp(
         x, dt, A, B, C, D, state=S_mine, chunk_size=chunk_size,
         return_state=False)
     if return_state:

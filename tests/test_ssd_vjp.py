@@ -1,0 +1,127 @@
+"""Analytic custom-VJP backward of the chunked SSD vs autodiff oracles.
+
+The reference's `mamba_ssm` ships hand-written Triton backward kernels for
+`mamba_chunk_scan_combined`; here the backward is two calls of the chunked
+dual core plus the scalar log-decay reverse-cumsum identity
+(`ops/ssd.ssd_backward`).  Pinned against XLA autodiff of the identical
+chunked primal and the naive scan oracle.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paper_accurate_fast_cheap_tpu.ops.ssd import (
+    ssd,
+    ssd_chunked,
+    ssd_chunked_vjp,
+    ssd_ref,
+)
+
+NAMES = ("x", "dt", "A", "B", "C", "D", "state")
+
+
+def _rand(key, Bt=2, T=70, H=4, P=8, G=2, N=6):
+    ks = jax.random.split(key, 9)
+    x = jax.random.normal(ks[0], (Bt, T, H, P))
+    dt = jnp.abs(jax.random.normal(ks[1], (Bt, T, H))) + 0.05
+    A = -jnp.abs(jax.random.normal(ks[2], (H,))) - 0.1
+    B = jax.random.normal(ks[3], (Bt, T, G, N))
+    C = jax.random.normal(ks[4], (Bt, T, G, N))
+    D = jax.random.normal(ks[5], (H,))
+    S0 = jax.random.normal(ks[6], (Bt, H, N, P))
+    cot_y = jax.random.normal(ks[7], (Bt, T, H, P))
+    cot_S = jax.random.normal(ks[8], (Bt, H, N, P))
+    return x, dt, A, B, C, D, S0, cot_y, cot_S
+
+
+def _check(got, want, rtol, names=NAMES):
+    for n, a, b in zip(names, want, got):
+        denom = float(jnp.max(jnp.abs(a))) + 1e-9
+        err = float(jnp.max(jnp.abs(a - b))) / denom
+        assert err < rtol, f"grad[{n}] rel err {err:.3e} >= {rtol}"
+
+
+def test_grads_match_chunked_autodiff_full_surface():
+    x, dt, A, B, C, D, S0, cot_y, cot_S = _rand(jax.random.PRNGKey(0))
+
+    def loss(fn):
+        def f(*a):
+            y, S = fn(*a[:6], state=a[6], chunk_size=16, return_state=True)
+            return jnp.sum(y * cot_y) + jnp.sum(S * cot_S)
+        return f
+
+    args = (x, dt, A, B, C, D, S0)
+    g_ad = jax.grad(loss(ssd_chunked), argnums=tuple(range(7)))(*args)
+    g_cv = jax.grad(loss(ssd_chunked_vjp), argnums=tuple(range(7)))(*args)
+    _check(g_cv, g_ad, 1e-4)
+
+
+def test_grads_match_scan_oracle():
+    x, dt, A, B, C, D, S0, cot_y, cot_S = _rand(jax.random.PRNGKey(1))
+
+    def loss_ref(*a):
+        y, S = ssd_ref(*a[:6], state=a[6], return_state=True)
+        return jnp.sum(y * cot_y) + jnp.sum(S * cot_S)
+
+    def loss_cv(*a):
+        y, S = ssd_chunked_vjp(*a[:6], state=a[6], chunk_size=16,
+                               return_state=True)
+        return jnp.sum(y * cot_y) + jnp.sum(S * cot_S)
+
+    args = (x, dt, A, B, C, D, S0)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    g_cv = jax.grad(loss_cv, argnums=tuple(range(7)))(*args)
+    _check(g_cv, g_ref, 1e-4)
+
+
+def test_grads_no_D_no_state_padding_path():
+    x, dt, A, B, C, _, _, cot_y, _ = _rand(jax.random.PRNGKey(2))
+
+    def l_ad(*a):
+        return jnp.sum(ssd_chunked(*a, chunk_size=16) * cot_y)
+
+    def l_cv(*a):
+        return jnp.sum(ssd_chunked_vjp(*a, chunk_size=16) * cot_y)
+
+    args = (x, dt, A, B, C)
+    g_ad = jax.grad(l_ad, argnums=tuple(range(5)))(*args)
+    g_cv = jax.grad(l_cv, argnums=tuple(range(5)))(*args)
+    _check(g_cv, g_ad, 1e-4)
+
+
+def test_dispatcher_default_uses_custom_vjp():
+    x, dt, A, B, C, D, _, cot_y, _ = _rand(jax.random.PRNGKey(3), T=64)
+
+    def l_disp(*a):
+        return jnp.sum(ssd(*a, chunk_size=16) * cot_y)
+
+    def l_ad(*a):
+        return jnp.sum(ssd(*a, chunk_size=16, impl="chunked_ad") * cot_y)
+
+    args = (x, dt, A, B, C, D)
+    g_d = jax.grad(l_disp, argnums=tuple(range(6)))(*args)
+    g_a = jax.grad(l_ad, argnums=tuple(range(6)))(*args)
+    _check(g_d, g_a, 1e-4)
+
+
+def test_bf16_grads_finite_and_close():
+    x, dt, A, B, C, D, _, cot_y, _ = _rand(jax.random.PRNGKey(4), T=64)
+    xb, Bb, Cb = (z.astype(jnp.bfloat16) for z in (x, B, C))
+
+    def l16(xx, bb, cc):
+        return jnp.sum(
+            ssd_chunked_vjp(xx, dt, A, bb, cc, D,
+                            chunk_size=16).astype(jnp.float32) * cot_y)
+
+    def l32(xx, bb, cc):
+        return jnp.sum(ssd_chunked(xx, dt, A, bb, cc, D,
+                                   chunk_size=16) * cot_y)
+
+    g16 = jax.grad(l16, argnums=(0, 1, 2))(xb, Bb, Cb)
+    g32 = jax.grad(l32, argnums=(0, 1, 2))(x, B, C)
+    for n, a, b in zip(("x", "B", "C"), g32, g16):
+        b = b.astype(jnp.float32)
+        assert bool(jnp.all(jnp.isfinite(b))), f"grad[{n}] not finite"
+        denom = float(jnp.max(jnp.abs(a))) + 1e-9
+        err = float(jnp.max(jnp.abs(a - b))) / denom
+        assert err < 0.1, f"bf16 grad[{n}] rel err {err:.3e}"
