@@ -42,18 +42,33 @@ def get_args(argv=None):
                    help="bf16 compute over fp32 master weights "
                         "(config `dtype: bf16`, the production mode)")
     p.add_argument("--output", default=None)
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   help="dotted config override, e.g. "
+                        "--set encoder_conf.rwkv_conf.wkv_impl=chunked_ad "
+                        "(repeatable; lets A/B runs share one yaml)")
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu"),
+                   help="force a jax platform (the container pre-registers "
+                        "the remote TPU backend; 'cpu' benches locally)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = get_args(argv)
     logging.basicConfig(level=logging.INFO)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     from paper_accurate_fast_cheap_tpu.models import factory
     from paper_accurate_fast_cheap_tpu.train import schedulers
     from paper_accurate_fast_cheap_tpu.train import train_step as ts
     from paper_accurate_fast_cheap_tpu.utils.config import load_config
 
     config = load_config(args.config)
+    if args.overrides:
+        from paper_accurate_fast_cheap_tpu.utils.config import (
+            override_config,
+        )
+
+        config = override_config(config, args.overrides)
     input_dim = config.get("dataset_conf", {}).get(
         "fbank_conf", {}).get("num_mel_bins", 80)
     vocab = config.get("vocab_size_for_bench", 5002)
