@@ -136,7 +136,6 @@ def test_bf16_grads_finite_and_close():
 @pytest.mark.parametrize("T,chunk", [(1, 8), (7, 8), (8, 8), (17, 8),
                                      (4, 64)])
 def test_edge_shapes(T, chunk):
-    import pytest as _  # noqa: F401
     ks = jax.random.split(jax.random.PRNGKey(100 + T), 6)
     Bt, H, P, G, N = 1, 2, 4, 1, 3
     x = jax.random.normal(ks[0], (Bt, T, H, P))
