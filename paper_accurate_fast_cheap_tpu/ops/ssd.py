@@ -24,8 +24,10 @@ import jax
 import jax.numpy as jnp
 
 
-def _as_f32(*xs):
-    return tuple(x.astype(jnp.float32) for x in xs)
+from paper_accurate_fast_cheap_tpu.ops.common import (  # noqa: E402
+    as_f32 as _as_f32,
+    revcumsum as _revcumsum,
+)
 
 
 def ssd_ref(x, dt, A, B, C, D=None, state=None, return_state=False):
@@ -171,10 +173,6 @@ def ssd_chunked(x, dt, A, B, C, D=None, state=None, chunk_size: int = 64,
 # Both passes run through ONE dual core below; residuals are the primal
 # inputs only.
 # ---------------------------------------------------------------------------
-
-
-def _revcumsum(x, axis):
-    return jnp.flip(jnp.cumsum(jnp.flip(x, axis), axis), axis)
 
 
 def _ssd_dual(u, x, la, q, p, S0, chunk_size):

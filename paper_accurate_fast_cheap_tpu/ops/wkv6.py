@@ -46,8 +46,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _as_f32(*xs):
-    return tuple(x.astype(jnp.float32) for x in xs)
+from paper_accurate_fast_cheap_tpu.ops.common import (  # noqa: E402
+    as_f32 as _as_f32,
+    revcumsum as _revcumsum,
+)
 
 
 def wkv6_ref(
@@ -270,10 +272,6 @@ def wkv6_chunked(
 # ---------------------------------------------------------------------------
 
 
-def _revcumsum(x, axis):
-    return jnp.flip(jnp.cumsum(jnp.flip(x, axis), axis), axis)
-
-
 def _chunked_dual(rf, kf, vf, ybf, wf, S0, chunk_size, inner_size, cd):
     """Two-level chunked evaluation of BOTH state contractions.
 
@@ -288,6 +286,14 @@ def _chunked_dual(rf, kf, vf, ybf, wf, S0, chunk_size, inner_size, cd):
     policy for bf16 inputs; accumulation is always fp32).  Unused outputs
     are dead-code-eliminated by XLA, so callers needing only one
     contraction pay only for that one.
+
+    This intentionally mirrors `wkv6_chunked`'s two-level machinery rather
+    than being called BY it: the forward is the single-chip benchmark hot
+    path and keeps its proven program untouched (incl. fp32 A/M operands
+    in the second-level einsums, where this core casts to ``cd`` to cut
+    backward bandwidth).  `tests/test_wkv6_vjp.py::
+    test_dual_core_locksteps_forward` pins the two in semantic lockstep so
+    a numerics fix to one cannot silently miss the other.
     """
     B, T, H, N = rf.shape
     L = int(chunk_size)

@@ -114,7 +114,11 @@ def wkv6_sp_body(rs, ks, vs, ws, us, axis: str, state=None,
     # from it while the inputs are per-shard).
     zero = jax.lax.pcast(
         jnp.zeros((Bs, H, N, N), jnp.float32), axis, to="varying")
-    _, B_loc = wkv6_ops.wkv6_chunked_vjp(
+    # summary pass stays on the autodiff variant: its y output is
+    # discarded, and XLA autodiff prunes the unused-y backward via
+    # symbolic zeros, while the custom-VJP would materialize an all-zeros
+    # y cotangent and run the full straight dual pass on it
+    _, B_loc = wkv6_ops.wkv6_chunked(
         rs, ks, vs, ws, us, state=zero, chunk_size=chunk_size,
         inner_size=inner_size, return_state=True)
     A_loc = _shard_summary_decay(ws, inner_size)
@@ -205,7 +209,8 @@ def ssd_sp_body(x, dt, A, B, C, D, axis: str, state=None,
         state = jnp.zeros((Bt, H, N, P), jnp.float32)
     zero = jax.lax.pcast(
         jnp.zeros((Bt, H, N, P), jnp.float32), axis, to="varying")
-    _, S_loc = ssd_ops.ssd_chunked_vjp(
+    # autodiff variant on purpose: y discarded, see the wkv6 note above
+    _, S_loc = ssd_ops.ssd_chunked(
         x, dt, A, B, C, None, state=zero, chunk_size=chunk_size,
         return_state=True)
     a_loc = jnp.exp(

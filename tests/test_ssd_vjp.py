@@ -154,3 +154,25 @@ def test_edge_shapes(T, chunk):
     g_ad = jax.grad(l_ad, argnums=tuple(range(5)))(x, dt, A, B, C)
     g_cv = jax.grad(l_cv, argnums=tuple(range(5)))(x, dt, A, B, C)
     _check(g_cv, g_ad, 5e-4, names=("x", "dt", "A", "B", "C"))
+
+
+def test_dual_core_locksteps_forward():
+    """`_ssd_dual` with (u=b*dt, q=C, probe=ybar) + D-skip must equal
+    `ssd_chunked` (the dual mirrors, not calls, the forward's machinery;
+    this pins them in lockstep)."""
+    from paper_accurate_fast_cheap_tpu.ops.ssd import _ssd_dual
+
+    x, dt, A, B, C, D, S0, cot_y, _ = _rand(jax.random.PRNGKey(8))
+    y_fwd, S_fwd = ssd_chunked(x, dt, A, B, C, D, state=S0, chunk_size=16,
+                               return_state=True)
+    rep = x.shape[2] // B.shape[2]
+    Bh = jnp.repeat(B, rep, axis=2)
+    Ch = jnp.repeat(C, rep, axis=2)
+    la = dt * A[None, None, :]
+    u = Bh * dt[..., None]
+    yA, _, S_dual = _ssd_dual(u, x, la, Ch, cot_y, S0, 16)
+    y = yA + x * D[None, None, :, None]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_fwd),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(S_dual), np.asarray(S_fwd),
+                               rtol=2e-5, atol=2e-5)

@@ -296,3 +296,32 @@ def test_train_cli_mixed_precision(workspace):
     epochs = [p for p in model_dir.iterdir()
               if p.name.startswith("epoch_") and p.is_dir()]
     assert epochs
+
+
+def test_train_bench_set_overrides_and_typo_warning(caplog):
+    """--set applies dotted overrides; creating a brand-new key (the typo
+    failure mode for A/B benches) logs a warning."""
+    import logging
+
+    from paper_accurate_fast_cheap_tpu.bin.train_bench import get_args
+    from paper_accurate_fast_cheap_tpu.utils.config import override_config
+
+    args = get_args([
+        "--config", "x.yaml", "--platform", "cpu",
+        "--set", "encoder_conf.rwkv_conf.wkv_impl=chunked_ad",
+        "--set", "grad_clip=1.5",
+    ])
+    assert args.platform == "cpu"
+    cfg = {"encoder_conf": {"rwkv_conf": {"wkv_impl": "chunked"}},
+           "grad_clip": 5.0}
+    with caplog.at_level(logging.WARNING):
+        out = override_config(cfg, args.overrides)
+    assert out["encoder_conf"]["rwkv_conf"]["wkv_impl"] == "chunked_ad"
+    assert out["grad_clip"] == 1.5
+    assert not caplog.records  # both keys existed: no warning
+
+    with caplog.at_level(logging.WARNING):
+        out = override_config(cfg, ["encoder_conf.rwkv_conf.wkv_imp=x"])
+    assert any("wkv_imp" in r.getMessage() for r in caplog.records)
+    # the typo'd key is still created (optional keys are legitimate)
+    assert out["encoder_conf"]["rwkv_conf"]["wkv_imp"] == "x"

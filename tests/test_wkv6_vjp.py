@@ -203,3 +203,24 @@ def test_edge_shapes(T, chunk, inner):
     g_ad = jax.grad(l_ad, argnums=tuple(range(5)))(r, k, v, w, u)
     g_cv = jax.grad(l_cv, argnums=tuple(range(5)))(r, k, v, w, u)
     _check(g_cv, g_ad, 5e-4)
+
+
+def test_dual_core_locksteps_forward():
+    """`_chunked_dual`'s y-contraction + u-bonus must equal `wkv6_chunked`.
+
+    The dual core intentionally mirrors (not calls) the forward's
+    machinery to keep the benchmark hot path untouched; this pins the two
+    implementations in lockstep so a numerics fix to one cannot silently
+    miss the other."""
+    from paper_accurate_fast_cheap_tpu.ops.wkv6 import _chunked_dual
+
+    r, k, v, w, u, S0, cot_y, _ = _rand(jax.random.PRNGKey(7), T=70)
+    y_fwd, S_fwd = wkv6_chunked(r, k, v, w, u, state=S0, chunk_size=32,
+                                inner_size=8, return_state=True)
+    y_nb, _, S_dual = _chunked_dual(r, k, v, cot_y, w, S0, 32, 8,
+                                    jnp.float32)
+    diag = jnp.sum(r * u[None, None] * k, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(y_nb + diag * v),
+                               np.asarray(y_fwd), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(S_dual), np.asarray(S_fwd),
+                               rtol=2e-5, atol=2e-5)
