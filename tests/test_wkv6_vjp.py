@@ -224,3 +224,40 @@ def test_dual_core_locksteps_forward():
                                np.asarray(y_fwd), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(S_dual), np.asarray(S_fwd),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_remat_over_custom_vjp():
+    """gradient_checkpointing (jax.checkpoint) composes with the analytic
+    VJP: rematerialized encoder grads equal plain encoder grads."""
+    from paper_accurate_fast_cheap_tpu.models import conformer
+
+    def build(gc):
+        return conformer.ConformerEncoder(
+            input_size=80, output_size=64, attention_heads=2, num_blocks=2,
+            linear_units=128, dropout_rate=0.0, positional_dropout_rate=0.0,
+            attention_dropout_rate=0.0,
+            selfattention_layer_type="rwkv_tmix60_bidirectional",
+            gradient_checkpointing=gc,
+            rwkv_conf={"rwkv_do_bfloat16": False},
+        )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 96, 80))
+    lens = jnp.array([96, 60])
+    params = build(False).init(jax.random.PRNGKey(1), x, lens,
+                               deterministic=True)
+
+    def loss(gc):
+        enc = build(gc)
+
+        def f(p):
+            y, _ = enc.apply(p, x, lens, deterministic=False,
+                             rngs={"dropout": jax.random.PRNGKey(2)})
+            return jnp.sum(y ** 2)
+        return f
+
+    g0 = jax.jit(jax.grad(loss(False)))(params)
+    g1 = jax.jit(jax.grad(loss(True)))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        err = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9))
+        assert err < 1e-5, err
