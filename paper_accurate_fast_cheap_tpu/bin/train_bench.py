@@ -14,6 +14,7 @@ Usage:
 """
 from __future__ import annotations
 
+import functools
 import argparse
 import logging
 import sys
@@ -49,6 +50,11 @@ def get_args(argv=None):
     p.add_argument("--platform", default=None, choices=("cpu", "tpu"),
                    help="force a jax platform (the container pre-registers "
                         "the remote TPU backend; 'cpu' benches locally)")
+    p.add_argument("--profile", action="store_true", default=False,
+                   help="decompose the step: time forward-only and "
+                        "forward+backward as chained on-device loops "
+                        "(relay-safe, see encoder_rtf) and report "
+                        "forward / backward / optimizer+clip splits")
     return p.parse_args(argv)
 
 
@@ -134,6 +140,58 @@ def main(argv=None):
     float(loss)  # drain
     elapsed = time.perf_counter() - t0
 
+    profile_lines = []
+    if args.profile:
+        # stage decomposition with relay-honest chained loops (the
+        # transport skips dispatches whose outputs are never fetched —
+        # NOTES.md; each loop carries a scalar derived from the stage's
+        # real outputs back into the inputs, so one dispatch + one fetch
+        # forces exactly n executions)
+        def perturb(b, s):
+            return tuple(
+                x + s.astype(x.dtype) if jnp.issubdtype(x.dtype,
+                                                        jnp.floating) else x
+                for x in b)
+
+        mb = (jax.tree.map(lambda x: x[0], batch) if accum > 1 else batch)
+
+        def fwd_once(p, s, rng):
+            loss, _ = loss_fn(p, perturb(mb, s), rng)
+            return loss.astype(jnp.float32) * 1e-30
+
+        def grad_once(p, s, rng):
+            (loss, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, perturb(mb, s), rng)
+            gsum = sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g))
+            return (loss.astype(jnp.float32) + gsum.astype(jnp.float32)
+                    ) * 1e-30
+
+        @functools.partial(jax.jit, static_argnames=("which",))
+        def timed(p, n, which):
+            fn = fwd_once if which == "fwd" else grad_once
+            return jax.lax.fori_loop(
+                0, n,
+                lambda i, s: fn(p, s, jax.random.PRNGKey(0)),
+                jnp.float32(0))
+
+        stage_ms = {}
+        for which in ("fwd", "grad"):
+            float(timed(state.params, max(args.warmup, 1), which))
+            t0 = time.perf_counter()
+            float(timed(state.params, args.iters, which))
+            stage_ms[which] = ((time.perf_counter() - t0)
+                               / args.iters * 1e3 * accum)
+        full_ms = elapsed / args.iters * 1e3
+        profile_lines = [
+            f"profile_forward_ms {stage_ms['fwd']:.2f}",
+            f"profile_backward_ms {stage_ms['grad'] - stage_ms['fwd']:.2f}",
+            f"profile_fwd_plus_bwd_ms {stage_ms['grad']:.2f}",
+            "profile_optimizer_clip_accum_ms "
+            f"{max(full_ms - stage_ms['grad'], 0.0):.2f}",
+            "profile_note per-optimizer-step (microbatch times x "
+            f"accum={accum}); grad loop adds one |g| reduction",
+        ]
+
     steps_per_s = args.iters / elapsed
     # batch_size is the TOTAL utterances per optimizer step (split into
     # accum microbatches when accum > 1)
@@ -155,7 +213,7 @@ def main(argv=None):
         f"final_loss {loss_v:.3f}",
         f"warmup_plus_compile_s {compile_s:.2f}",
         f"device {jax.devices()[0]}",
-    ]
+    ] + profile_lines
     report = "\n".join(lines)
     print(report)
     if args.output:
