@@ -56,6 +56,20 @@ def get_args(argv=None):
                    help="switch self-attention to LCA with this context")
     p.add_argument("--encoder_global_tokens", type=int, default=0)
     p.add_argument("--encoder_global_tokens_spacing", type=int, default=1)
+    p.add_argument("--fuse", default="off", choices=["on", "off"],
+                   help="fuse the whole per-batch device chain (window "
+                        "slice -> fbank -> encoder -> ctc -> beam scan -> "
+                        "top-hypothesis Viterbi alignment) into ONE "
+                        "dispatched XLA program (rnnt_beam_search only). "
+                        "Through a high-latency transport each dispatch "
+                        "costs a round trip; fusing removes both the "
+                        "inter-program gaps and the beam-fetch -> "
+                        "align-dispatch serialization")
+    p.add_argument("--align_max_tokens", type=int, default=0,
+                   help="fused-chain alignment state budget (top "
+                        "hypothesis longer than this falls back to the "
+                        "two-step align). 0 = auto: max(64, chunk/16) "
+                        "tokens, ~2.5x real speech rate")
     p.add_argument("--seq_parallel", type=int, default=0,
                    help="shard each window's TIME axis over this many "
                         "devices (sequence-parallel encoder: halo'd ds4 "
@@ -243,10 +257,41 @@ def main(argv=None):
     win_samples = (args.chunk_size - 1) * frame_shift + frame_length
     window_slice = make_window_slicer(wav, win_samples)
 
+    fuse = (args.fuse == "on" and args.mode == "rnnt_beam_search"
+            and model_type == "transducer" and args.seq_parallel <= 1)
+    if args.fuse == "on" and not fuse:
+        logging.warning("--fuse requires rnnt_beam_search on a "
+                        "transducer without --seq_parallel; ignoring")
+    if fuse:
+        align_lmax = (args.align_max_tokens
+                      or max(64, args.chunk_size // 16))
+
+        def _chain(starts, slens_d):
+            swins = window_slice(starts)
+            feats, feat_lens = featurize(swins, slens_d, train=False)
+            if args.precision == "bf16":
+                feats = feats.astype(jnp.bfloat16)
+            enc, enc_lens = fwd(feats, feat_lens)
+            logp = ctc_fn(enc)
+            out = rnnt_search.rnnt_beam_search(
+                predictor_step, joint_step, init_state_fn, enc,
+                enc_lens, logp, beam_size=args.beam_size,
+                ctc_weight=args.ctc_weight,
+                transducer_weight=args.transducer_weight,
+                params=params, defer=True,
+            )
+            path, ok = ctc_utils.force_align_device_tokens(
+                logp, enc_lens, out["hyps"][:, 0, :align_lmax],
+                out["hyp_len"][:, 0],
+            )
+            return enc_lens, logp, out, path, ok
+
+        chain = jax.jit(_chain)
+
     def finalize(entry):
         """Materialize one dispatched batch: fetch, search-finalize,
         align, CTM."""
-        group, slens, enc_lens, logp, payload = entry
+        group, slens, enc_lens, logp, payload, path, path_ok = entry
         lens_np = np.asarray(enc_lens)
         if args.mode == "rnnt_beam_search":
             res = rnnt_search.finalize_device_beam(payload)
@@ -262,11 +307,19 @@ def main(argv=None):
                                            and len(r.times)
                                            == len(r.tokens))]
         alis = {}
+        if need_align and path is not None:
+            # fused chain already aligned the top hypothesis on device
+            ok_np = np.asarray(path_ok)
+            path_np = np.asarray(path)
+            fused_rows = [b for b in need_align if ok_np[b]]
+            for b in fused_rows:
+                alis[b] = [int(x) for x in path_np[b, : lens_np[b]]]
+            need_align = [b for b in need_align if not ok_np[b]]
         if need_align:
             batch_ali = ctc_utils.force_align_batch_device(
                 logp, lens_np, [res[b].tokens if b in need_align else []
                                 for b in range(len(res))])
-            alis = {b: batch_ali[b] for b in need_align}
+            alis.update({b: batch_ali[b] for b in need_align})
         for start_frame, r, b in zip(group, res, range(len(res))):
             if not r.tokens:
                 continue
@@ -300,24 +353,30 @@ def main(argv=None):
     for group, s0, slens in window_batches(len(wav), args.chunk_size,
                                            args.batch_size,
                                            frame_shift, frame_length):
-        swins = window_slice(jnp.asarray(s0))
-        feats, feat_lens = featurize(swins, jnp.asarray(slens),
-                                     train=False)
-        if args.precision == "bf16":
-            feats = feats.astype(jnp.bfloat16)
-        enc, enc_lens = fwd(feats, feat_lens)
-        logp = ctc_fn(enc)
-        if args.mode == "rnnt_beam_search":
-            payload = rnnt_search.rnnt_beam_search(
-                predictor_step, joint_step, init_state_fn, enc, enc_lens,
-                logp, beam_size=args.beam_size,
-                ctc_weight=args.ctc_weight,
-                transducer_weight=args.transducer_weight,
-                params=params, defer=True,
-            )
+        if fuse:
+            enc_lens, logp, payload, path, path_ok = chain(
+                jnp.asarray(s0), jnp.asarray(slens))
+            entry = (group, slens, enc_lens, logp, payload, path,
+                     path_ok)
         else:
-            payload = None
-        entry = (group, slens, enc_lens, logp, payload)
+            swins = window_slice(jnp.asarray(s0))
+            feats, feat_lens = featurize(swins, jnp.asarray(slens),
+                                         train=False)
+            if args.precision == "bf16":
+                feats = feats.astype(jnp.bfloat16)
+            enc, enc_lens = fwd(feats, feat_lens)
+            logp = ctc_fn(enc)
+            if args.mode == "rnnt_beam_search":
+                payload = rnnt_search.rnnt_beam_search(
+                    predictor_step, joint_step, init_state_fn, enc,
+                    enc_lens, logp, beam_size=args.beam_size,
+                    ctc_weight=args.ctc_weight,
+                    transducer_weight=args.transducer_weight,
+                    params=params, defer=True,
+                )
+            else:
+                payload = None
+            entry = (group, slens, enc_lens, logp, payload, None, None)
         if pending is not None:
             finalize(pending)
         pending = entry

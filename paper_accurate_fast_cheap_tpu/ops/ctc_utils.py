@@ -131,70 +131,124 @@ def get_blank_id(configs: dict, symbol_table: dict) -> int:
 _VITERBI_CACHE: dict = {}
 
 
-def _viterbi_program(B: int, T: int, Sp: int, V: int):
-    """Jitted whole-batch CTC Viterbi: forward scan emitting backpointers
-    + reverse backtrack scan, all on device.  Only the (B, T) best-path
-    token ids come back to host — at long-form shapes the alternative
-    (fetching posterior columns and looping on host) costs seconds per
-    window batch in transfers + Python."""
+def viterbi_path_device(logp, lens, y, allow2, S):
+    """Traceable whole-batch CTC Viterbi: forward scan emitting
+    backpointers + reverse backtrack scan, all in jnp ops so it can run
+    standalone OR inlined inside a larger jitted program (the fused
+    long-form decode chain).  Only the (B, T) best-path token ids need
+    to come back to host — at long-form shapes the alternative (fetching
+    posterior columns and looping on host) costs seconds per window
+    batch in transfers + Python.
+
+    logp (B,T,V); lens/S (B,) i32; y (B,Sp) i32 blank-interleaved label
+    sequences; allow2 (B,Sp) bool skip-transition mask.  Rows whose
+    sequence does not fit Sp must be masked by the caller.
+    """
     import jax
     import jax.numpy as jnp
 
     NEG = jnp.float32(-jnp.inf)
+    B, T, _ = logp.shape
+    Sp = y.shape[1]
 
-    def run(logp, lens, y, allow2, S):
-        # logp (B,T,V) f32; lens/S (B,) i32; y (B,Sp) i32; allow2 (B,Sp)
-        lp = jnp.take_along_axis(
-            logp.astype(jnp.float32), y[:, None, :], axis=2)  # (B,T,Sp)
-        valid = jnp.arange(Sp)[None, :] < S[:, None]
-        lp = jnp.where(valid[:, None, :], lp, NEG)
+    lp = jnp.take_along_axis(
+        logp.astype(jnp.float32), y[:, None, :], axis=2)  # (B,T,Sp)
+    valid = jnp.arange(Sp)[None, :] < S[:, None]
+    lp = jnp.where(valid[:, None, :], lp, NEG)
 
-        alpha0 = jnp.full((B, Sp), NEG)
-        alpha0 = alpha0.at[:, 0].set(lp[:, 0, 0])
-        if Sp > 1:
-            alpha0 = alpha0.at[:, 1].set(
-                jnp.where(S > 1, lp[:, 0, 1], NEG))
+    alpha0 = jnp.full((B, Sp), NEG)
+    alpha0 = alpha0.at[:, 0].set(lp[:, 0, 0])
+    if Sp > 1:
+        alpha0 = alpha0.at[:, 1].set(
+            jnp.where(S > 1, lp[:, 0, 1], NEG))
 
-        negcol = jnp.full((B, 1), NEG)
+    negcol = jnp.full((B, 1), NEG)
 
-        def step(alpha, inp):
-            lp_t, t = inp
-            c1 = jnp.concatenate([negcol, alpha[:, :-1]], axis=1)
-            if Sp > 2:
-                c2 = jnp.concatenate([negcol, negcol, alpha[:, :-2]],
-                                     axis=1)
-            else:
-                c2 = jnp.full((B, Sp), NEG)
-            c2 = jnp.where(allow2, c2, NEG)
-            stack = jnp.stack([alpha, c1, c2])        # (3,B,Sp)
-            k = jnp.argmax(stack, axis=0)             # first max: stay>1>2
-            new_alpha = jnp.take_along_axis(stack, k[None], axis=0)[0] \
-                + lp_t
-            act = (t < lens)[:, None]                 # freeze ended rows
-            return (jnp.where(act, new_alpha, alpha),
-                    jnp.where(act, k, 0).astype(jnp.int8))
+    def step(alpha, inp):
+        lp_t, t = inp
+        c1 = jnp.concatenate([negcol, alpha[:, :-1]], axis=1)
+        if Sp > 2:
+            c2 = jnp.concatenate([negcol, negcol, alpha[:, :-2]],
+                                 axis=1)
+        else:
+            c2 = jnp.full((B, Sp), NEG)
+        c2 = jnp.where(allow2, c2, NEG)
+        stack = jnp.stack([alpha, c1, c2])        # (3,B,Sp)
+        k = jnp.argmax(stack, axis=0)             # first max: stay>1>2
+        new_alpha = jnp.take_along_axis(stack, k[None], axis=0)[0] \
+            + lp_t
+        act = (t < lens)[:, None]                 # freeze ended rows
+        return (jnp.where(act, new_alpha, alpha),
+                jnp.where(act, k, 0).astype(jnp.int8))
 
-        alpha, ks = jax.lax.scan(
-            step, alpha0,
-            (jnp.moveaxis(lp[:, 1:], 1, 0), jnp.arange(1, T)))
+    alpha, ks = jax.lax.scan(
+        step, alpha0,
+        (jnp.moveaxis(lp[:, 1:], 1, 0), jnp.arange(1, T)))
 
-        sm1 = S - 1
-        sm2 = jnp.maximum(S - 2, 0)
-        a_m1 = jnp.take_along_axis(alpha, sm1[:, None], 1)[:, 0]
-        a_m2 = jnp.take_along_axis(alpha, sm2[:, None], 1)[:, 0]
-        s_end = jnp.where((S > 1) & (a_m2 > a_m1), sm2, sm1)
+    sm1 = S - 1
+    sm2 = jnp.maximum(S - 2, 0)
+    a_m1 = jnp.take_along_axis(alpha, sm1[:, None], 1)[:, 0]
+    a_m2 = jnp.take_along_axis(alpha, sm2[:, None], 1)[:, 0]
+    s_end = jnp.where((S > 1) & (a_m2 > a_m1), sm2, sm1)
 
-        def back(s, k_t):
-            tok = jnp.take_along_axis(y, s[:, None], 1)[:, 0]
-            kk = jnp.take_along_axis(k_t, s[:, None], 1)[:, 0]
-            return s - kk.astype(jnp.int32), tok
+    def back(s, k_t):
+        tok = jnp.take_along_axis(y, s[:, None], 1)[:, 0]
+        kk = jnp.take_along_axis(k_t, s[:, None], 1)[:, 0]
+        return s - kk.astype(jnp.int32), tok
 
-        s0, toks = jax.lax.scan(back, s_end, ks, reverse=True)
-        tok0 = jnp.take_along_axis(y, s0[:, None], 1)  # (B,1)
-        return jnp.concatenate(
-            [tok0, jnp.moveaxis(toks, 0, 1)], axis=1)  # (B,T)
+    s0, toks = jax.lax.scan(back, s_end, ks, reverse=True)
+    tok0 = jnp.take_along_axis(y, s0[:, None], 1)  # (B,1)
+    return jnp.concatenate(
+        [tok0, jnp.moveaxis(toks, 0, 1)], axis=1)  # (B,T)
 
-    return jax.jit(run)
+
+def _viterbi_program(B: int, T: int, Sp: int, V: int):
+    """Jitted standalone wrapper of `viterbi_path_device` (host-token
+    alignment path, shapes baked for the program cache)."""
+    import jax
+
+    return jax.jit(viterbi_path_device)
+
+
+def force_align_device_tokens(logp, lens, tokens, tok_len,
+                              blank_id: int = 0):
+    """Traceable forced alignment whose LABELS are device arrays.
+
+    The host variant (`force_align_batch_device`) needs the hypothesis
+    tokens on host to build the blank-interleaved state sequence — a
+    round trip that serializes beam-fetch -> align-dispatch in long-form
+    decode.  This builds y/allow2/S with jnp ops from the beam's top
+    hypothesis so the alignment fuses into the SAME dispatched program
+    as the encoder + beam (recognize_wav --fuse).
+
+    logp (B,T,V) log-probs; lens (B,) valid frames; tokens (B, Lmax)
+    top-hypothesis ids (garbage past tok_len); tok_len (B,).
+    Returns (path (B,T) i32, ok (B,) bool).  ok[b] is False when the
+    2*tok_len+1 state sequence does not fit 2*Lmax+1 (cannot happen when
+    tokens is the full beam row) or tok_len==0; such rows' paths are
+    all-blank and the caller must fall back / skip.
+    """
+    import jax.numpy as jnp
+
+    B, Lmax = tokens.shape
+    Sp = 2 * Lmax + 1
+    pos = jnp.arange(Sp)
+    tok_idx = jnp.maximum((pos - 1) // 2, 0)
+    gathered = jnp.take(tokens, jnp.minimum(tok_idx, Lmax - 1), axis=1)
+    is_tok = ((pos % 2 == 1)[None, :]
+              & (tok_idx[None, :] < tok_len[:, None]))
+    y = jnp.where(is_tok, gathered, blank_id).astype(jnp.int32)
+    # skip (s-2) allowed at non-blank states whose label differs from
+    # two states back (i.e. from the previous label)
+    y2 = jnp.concatenate(
+        [jnp.full((B, 2), blank_id, y.dtype), y[:, :-2]], axis=1)
+    allow2 = (pos[None, :] >= 2) & (y != blank_id) & (y != y2)
+    S = (2 * tok_len + 1).astype(jnp.int32)
+    ok = (tok_len > 0) & (S <= Sp)
+    path = viterbi_path_device(logp, jnp.asarray(lens, jnp.int32), y,
+                               allow2, jnp.where(ok, S, 1))
+    path = jnp.where(ok[:, None], path, blank_id)
+    return path, ok
 
 
 def force_align_batch_device(logp, lens, labels_list, blank_id: int = 0,

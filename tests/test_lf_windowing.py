@@ -94,3 +94,124 @@ def test_deferred_beam_finalize_matches_direct():
         assert a.tokens == b.tokens
         assert a.nbest == b.nbest
         np.testing.assert_allclose(a.nbest_scores, b.nbest_scores)
+
+
+def test_force_align_device_tokens_matches_host():
+    """The traceable device-token aligner (fused-chain path) must produce
+    the same frame alignment as the host-label batched aligner for rows
+    that fit its state budget, and flag the rest."""
+    import jax
+
+    from paper_accurate_fast_cheap_tpu.ops import ctc_utils
+
+    rng = np.random.RandomState(3)
+    B, T, V, Lmax = 4, 17, 7, 5
+    logp = jnp.asarray(np.log(rng.dirichlet(np.ones(V), (B, T))
+                              ).astype(np.float32))
+    lens = np.asarray([17, 11, 17, 9], np.int32)
+    labels = [
+        [2, 3, 3, 1],      # repeat => no skip transition there
+        [4, 2],
+        list(rng.randint(1, V, 9)),   # 9 > Lmax => overflow row
+        [],                # empty => flagged, all-blank
+    ]
+    tokens = np.zeros((B, Lmax), np.int32)
+    tok_len = np.zeros((B,), np.int32)
+    for b, ls in enumerate(labels):
+        tok_len[b] = len(ls)
+        tokens[b, : min(len(ls), Lmax)] = ls[:Lmax]
+
+    path, ok = jax.jit(ctc_utils.force_align_device_tokens)(
+        logp, jnp.asarray(lens), jnp.asarray(tokens),
+        jnp.asarray(tok_len))
+    path, ok = np.asarray(path), np.asarray(ok)
+    assert list(ok) == [True, True, False, False]
+
+    host = ctc_utils.force_align_batch_device(
+        logp, lens, [labels[0], labels[1], [], []])
+    np.testing.assert_array_equal(path[0, : lens[0]], host[0])
+    np.testing.assert_array_equal(path[1, : lens[1]], host[1])
+    assert not path[2].any() and not path[3].any()
+
+
+def test_recognize_wav_fused_chain_matches_unfused(tmp_path):
+    """`--fuse on` (single-dispatch slice->fbank->encoder->ctc->beam->
+    align program) must reproduce the unfused pipeline's transcript AND
+    CTM timings exactly."""
+    import io
+    import wave
+
+    import yaml
+
+    from paper_accurate_fast_cheap_tpu.bin.recognize_wav import main
+    from paper_accurate_fast_cheap_tpu.models import factory
+    from paper_accurate_fast_cheap_tpu.train import checkpointing
+
+    units = tmp_path / "units.txt"
+    units.write_text("<blank> 0\n<unk> 1\na 2\nb 3\nc 4\n<sos> 5\n")
+    config = {
+        "model": "transducer",
+        "encoder": "conformer",
+        "encoder_conf": {
+            "output_size": 32, "attention_heads": 2, "linear_units": 48,
+            "num_blocks": 1, "input_layer": "conv2d",
+            "dropout_rate": 0.0,
+            "selfattention_layer_type": "rwkv_tmix60_bidirectional",
+            "rwkv_head_size": 16,
+        },
+        "decoder": None,
+        "predictor": "rnn",
+        "predictor_conf": {"embed_size": 32, "hidden_size": 32,
+                           "output_size": 32, "num_layers": 1},
+        "joint_conf": {"join_dim": 32},
+        "model_conf": {"ctc_weight": 0.3, "transducer_weight": 0.7,
+                       "attention_weight": 0.0},
+        "tokenizer": "whitespace",
+        "tokenizer_conf": {"symbol_table_path": str(units),
+                           "special_tokens": {"<sos>": 5, "<eos>": 5}},
+        "dataset_conf": {
+            "fbank_conf": {"num_mel_bins": 23, "frame_shift": 10,
+                           "frame_length": 25, "dither": 0.0},
+        },
+    }
+    cfg_path = tmp_path / "trans.yaml"
+    cfg_path.write_text(yaml.safe_dump(config))
+
+    import jax
+
+    model, _ = factory.init_model(config, 6, 23)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 23)),
+                        jnp.asarray([64]), jnp.ones((1, 4), jnp.int32),
+                        jnp.asarray([4]))
+    ckpt = tmp_path / "ckpt"
+    checkpointing.save_checkpoint(str(ckpt), params)
+
+    rng = np.random.RandomState(11)
+    wav = (rng.randn(16000 * 3) * 0.05).astype(np.float32)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes((wav * 32767).astype(np.int16).tobytes())
+    wav_path = tmp_path / "ep.wav"
+    wav_path.write_bytes(buf.getvalue())
+
+    outs = {}
+    for fuse in ("off", "on"):
+        out_dir = tmp_path / f"out_{fuse}"
+        rc = main([
+            "--config", str(cfg_path), "--checkpoint", str(ckpt),
+            "--wav", str(wav_path), "--output_dir", str(out_dir),
+            "--mode", "rnnt_beam_search", "--chunk_size", "120",
+            "--batch_size", "2", "--beam_size", "2",
+            "--precision", "fp32", "--fuse", fuse,
+        ])
+        assert rc == 0
+        outs[fuse] = ((out_dir / "ep.txt").read_text(),
+                      (out_dir / "ep.ctm").read_text())
+    assert outs["on"][0] == outs["off"][0]
+    assert outs["on"][1] == outs["off"][1]
+    # the fused run actually produced hypotheses (guards against a
+    # trivially-empty equality)
+    assert outs["on"][0].strip()
