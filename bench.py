@@ -69,20 +69,26 @@ def main():
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         params)
 
-    @jax.jit
-    def enc_ctc(prm, f, l):
-        enc, el = model.apply(prm, f, l, method=model.forward_encoder)
-        return enc, model.apply(prm, enc, method=model.ctc_logprobs), el
-
     predictor_step, joint_step, init_state_fn = \
         rnnt_search.make_transducer_step_fns(model, params)
 
-    def run():
-        enc, logp, el = enc_ctc(params, feats, lens)
+    # the WHOLE product chain (encoder -> ctc log-probs -> beam scan) as
+    # ONE dispatched program — mirrors `recognize_wav --fuse on`; through
+    # the relay each extra dispatch costs a round trip
+    @jax.jit
+    def full_chain(prm, f, l):
+        enc, el = model.apply(prm, f, l, method=model.forward_encoder)
+        logp = model.apply(prm, enc, method=model.ctc_logprobs)
         return rnnt_search.rnnt_beam_search(
             predictor_step, joint_step, init_state_fn, enc, el, logp,
             beam_size=BEAM, ctc_weight=0.3, transducer_weight=0.7,
-            impl="device", params=params)
+            impl="device", params=prm, defer=True)
+
+    def run():
+        # finalize fetches the beam arrays -> forces real execution of
+        # this iteration's chain (relay skips unfetched programs)
+        return rnnt_search.finalize_device_beam(full_chain(
+            params, feats, lens))
 
     # warmup/compile (through the remote-TPU relay the first
     # block_until_ready can return early; the beam's host reads inside

@@ -38,6 +38,12 @@ def main(argv=None):
     p.add_argument("--beam_size", type=int, default=8)
     p.add_argument("--rwkv_r", type=int, default=0)
     p.add_argument("--verbatimicity", type=float, default=None)
+    p.add_argument("--fuse", default=None, choices=["on", "off"],
+                   help="forward recognize_wav --fuse (single-dispatch "
+                        "device chain) for A/B sweeps")
+    p.add_argument("--wkv_impl", default=None,
+                   choices=["pallas", "chunked"],
+                   help="forward recognize_wav --wkv_impl")
     args = p.parse_args(argv)
 
     from paper_accurate_fast_cheap_tpu.bin import recognize_wav
@@ -66,6 +72,10 @@ def main(argv=None):
                 argv_one += ["--rwkv_r", str(args.rwkv_r)]
             if args.verbatimicity is not None:
                 argv_one += ["--verbatimicity", str(args.verbatimicity)]
+            if args.fuse is not None:
+                argv_one += ["--fuse", args.fuse]
+            if args.wkv_impl is not None:
+                argv_one += ["--wkv_impl", args.wkv_impl]
             recognize_wav.main(argv_one)
         # score: per-file hypothesis text vs .ref_txt, gigaspeech filtering
         per_file = {}

@@ -45,6 +45,12 @@ def get_args(argv=None):
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--output", default=None, help="write .rtf file here")
+    p.add_argument("--beam_unroll", type=int, default=1,
+                   help="lax.scan unroll for the device beam (per-frame "
+                        "loop-overhead amortization A/B)")
+    p.add_argument("--fuse", default="off", choices=["on", "off"],
+                   help="dispatch encoder+ctc+beam as ONE program per "
+                        "iteration (mirrors recognize_wav --fuse)")
     return p.parse_args(argv)
 
 
@@ -88,18 +94,29 @@ def main(argv=None):
     predictor_step, joint_step, init_state_fn = \
         rnnt_search.make_transducer_step_fns(model, params)
 
+    def _search(enc, enc_lens, logp, defer):
+        return rnnt_search.rnnt_beam_search(
+            predictor_step, joint_step, init_state_fn, enc, enc_lens,
+            logp, beam_size=args.beam_size,
+            ctc_weight=args.ctc_weight,
+            transducer_weight=args.transducer_weight, impl="device",
+            params=params, defer=defer, unroll=args.beam_unroll)
+
+    @jax.jit
+    def fused_chain(p, f, l):
+        enc, logp, enc_lens = enc_ctc(p, f, l)
+        return _search(enc, enc_lens, logp, defer=True)
+
     def run():
+        if args.mode != "ctc_greedy_search" and args.fuse == "on":
+            return rnnt_search.finalize_device_beam(
+                fused_chain(params, feats, lens))
         enc, logp, enc_lens = enc_ctc(params, feats, lens)
         if args.mode == "ctc_greedy_search":
             res = search.ctc_greedy_search(np.asarray(logp),
                                            np.asarray(enc_lens))
         else:
-            res = rnnt_search.rnnt_beam_search(
-                predictor_step, joint_step, init_state_fn, enc, enc_lens,
-                logp, beam_size=args.beam_size,
-                ctc_weight=args.ctc_weight,
-                transducer_weight=args.transducer_weight, impl="device",
-                params=params)
+            res = _search(enc, enc_lens, logp, defer=False)
         return res
 
     compile_t0 = time.perf_counter()
@@ -131,6 +148,7 @@ def main(argv=None):
         f"minutes_audio_per_sec {minutes_per_sec:.3f}",
         f"batch {B} chunk {T} iters {args.iters}",
         f"beam {args.beam_size} mean_tokens {n_tok}",
+        f"fuse {args.fuse} beam_unroll {args.beam_unroll}",
         f"warmup_plus_compile_s {compile_s:.2f}",
         f"max_cpu_ram_mb {max_rss_mb:.1f}",
         f"max_vram_mb {dev_mb:.1f}",

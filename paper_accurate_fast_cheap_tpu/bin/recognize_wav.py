@@ -65,6 +65,10 @@ def get_args(argv=None):
                         "costs a round trip; fusing removes both the "
                         "inter-program gaps and the beam-fetch -> "
                         "align-dispatch serialization")
+    p.add_argument("--beam_unroll", type=int, default=1,
+                   help="lax.scan unroll factor for the device beam "
+                        "(amortizes per-frame loop overhead; compile "
+                        "time grows with it)")
     p.add_argument("--align_max_tokens", type=int, default=0,
                    help="fused-chain alignment state budget (top "
                         "hypothesis longer than this falls back to the "
@@ -278,7 +282,7 @@ def main(argv=None):
                 enc_lens, logp, beam_size=args.beam_size,
                 ctc_weight=args.ctc_weight,
                 transducer_weight=args.transducer_weight,
-                params=params, defer=True,
+                params=params, defer=True, unroll=args.beam_unroll,
             )
             path, ok = ctc_utils.force_align_device_tokens(
                 logp, enc_lens, out["hyps"][:, 0, :align_lmax],
@@ -373,6 +377,7 @@ def main(argv=None):
                     ctc_weight=args.ctc_weight,
                     transducer_weight=args.transducer_weight,
                     params=params, defer=True,
+                    unroll=args.beam_unroll,
                 )
             else:
                 payload = None

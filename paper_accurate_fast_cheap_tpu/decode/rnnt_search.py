@@ -204,6 +204,7 @@ def rnnt_beam_search(
     impl: str = "device",
     params: Any = None,
     defer: bool = False,
+    unroll: int = 1,
 ):
     """Batched prefix beam search with CTC shallow fusion.
 
@@ -224,7 +225,7 @@ def rnnt_beam_search(
         return _rnnt_beam_search_device(
             predictor_step, joint_step, init_state_fn, enc_out, enc_lens,
             ctc_probs, beam_size, blank_id, ctc_weight, transducer_weight,
-            params, defer,
+            params, defer, unroll,
         )
     return _rnnt_beam_search_host(
         predictor_step, joint_step, init_state_fn, enc_out, enc_lens,
@@ -323,7 +324,7 @@ def _gather_state(state, sel):
 def _rnnt_beam_search_device(
     predictor_step, joint_step, init_state_fn, enc_out, enc_lens,
     ctc_probs, beam_size, blank_id, ctc_weight, transducer_weight,
-    params=None, defer=False,
+    params=None, defer=False, unroll=1,
 ):
     """Fully on-device prefix beam search (one jitted scan over frames).
 
@@ -490,11 +491,15 @@ def _rnnt_beam_search_device(
     key = (id(orig_steps[0]), id(orig_steps[1]), params is None, B, T, N,
            ctc_probs.shape[-1], enc_out.shape[-1], blank_id,
            round(log_tw, 8), round(log_cw, 8),
-           str(enc_out.dtype), str(ctc_probs.dtype))
+           str(enc_out.dtype), str(ctc_probs.dtype), unroll)
     cached = _DEVICE_BEAM_CACHE.get(key)
     if cached is None:
+        # unroll>1 amortizes per-iteration loop overhead of the tiny
+        # (~300-op, no-matmul-bound) step body — the scan's serial
+        # latency, not its FLOPs, prices the search on TPU
         run = jax.jit(lambda prms, c, x, lens: jax.lax.scan(
-            lambda cc, xx: step(prms, lens, cc, xx), c, x)[0])
+            lambda cc, xx: step(prms, lens, cc, xx), c, x,
+            unroll=unroll)[0])
         # hold the step fns so their id()s stay valid for the cache key
         _DEVICE_BEAM_CACHE[key] = (run, orig_steps)
         if len(_DEVICE_BEAM_CACHE) > 16:

@@ -131,7 +131,7 @@ def get_blank_id(configs: dict, symbol_table: dict) -> int:
 _VITERBI_CACHE: dict = {}
 
 
-def viterbi_path_device(logp, lens, y, allow2, S):
+def viterbi_path_device(logp, lens, y, allow2, S, unroll: int = 1):
     """Traceable whole-batch CTC Viterbi: forward scan emitting
     backpointers + reverse backtrack scan, all in jnp ops so it can run
     standalone OR inlined inside a larger jitted program (the fused
@@ -181,9 +181,11 @@ def viterbi_path_device(logp, lens, y, allow2, S):
         return (jnp.where(act, new_alpha, alpha),
                 jnp.where(act, k, 0).astype(jnp.int8))
 
+    # unroll amortizes loop overhead of the tiny (B,Sp) elementwise body
     alpha, ks = jax.lax.scan(
         step, alpha0,
-        (jnp.moveaxis(lp[:, 1:], 1, 0), jnp.arange(1, T)))
+        (jnp.moveaxis(lp[:, 1:], 1, 0), jnp.arange(1, T)),
+        unroll=unroll)
 
     sm1 = S - 1
     sm2 = jnp.maximum(S - 2, 0)
@@ -196,7 +198,8 @@ def viterbi_path_device(logp, lens, y, allow2, S):
         kk = jnp.take_along_axis(k_t, s[:, None], 1)[:, 0]
         return s - kk.astype(jnp.int32), tok
 
-    s0, toks = jax.lax.scan(back, s_end, ks, reverse=True)
+    s0, toks = jax.lax.scan(back, s_end, ks, reverse=True,
+                            unroll=unroll)
     tok0 = jnp.take_along_axis(y, s0[:, None], 1)  # (B,1)
     return jnp.concatenate(
         [tok0, jnp.moveaxis(toks, 0, 1)], axis=1)  # (B,T)

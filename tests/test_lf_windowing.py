@@ -215,3 +215,40 @@ def test_recognize_wav_fused_chain_matches_unfused(tmp_path):
     # the fused run actually produced hypotheses (guards against a
     # trivially-empty equality)
     assert outs["on"][0].strip()
+
+
+def test_beam_unroll_is_exact():
+    """`unroll` only changes scan scheduling — hypotheses, n-best and
+    scores must be identical to the unroll=1 beam."""
+    from paper_accurate_fast_cheap_tpu.decode import rnnt_search
+
+    rng = np.random.RandomState(5)
+    B, T, De, Dp, V, N = 2, 13, 8, 8, 9, 3
+    enc = jnp.asarray(rng.randn(B, T, De).astype(np.float32))
+    lens = jnp.asarray([13, 6])
+    ctc = jnp.asarray(np.log(rng.dirichlet(np.ones(V), (B, T))
+                             ).astype(np.float32))
+    W = jnp.asarray(rng.randn(De + Dp, V).astype(np.float32) * 0.5)
+    E = jnp.asarray(rng.randn(V, Dp).astype(np.float32))
+
+    def predictor_step(tok, state):
+        out = E[tok] + state
+        return out, out
+
+    import jax
+
+    def joint_step(e, pr):
+        return jax.nn.log_softmax(jnp.concatenate([e, pr], -1) @ W, -1)
+
+    init = lambda n: jnp.zeros((n, Dp))
+    kw = dict(beam_size=N, ctc_weight=0.3, transducer_weight=0.7)
+    base = rnnt_search.rnnt_beam_search(
+        predictor_step, joint_step, init, enc, lens, ctc, **kw)
+    for unroll in (2, 4):
+        got = rnnt_search.rnnt_beam_search(
+            predictor_step, joint_step, init, enc, lens, ctc,
+            unroll=unroll, **kw)
+        for a, b in zip(base, got):
+            assert a.tokens == b.tokens and a.nbest == b.nbest
+            np.testing.assert_allclose(a.nbest_scores, b.nbest_scores,
+                                       rtol=1e-6)
