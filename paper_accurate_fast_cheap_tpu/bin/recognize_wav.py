@@ -126,7 +126,15 @@ def window_batches(wav_len: int, chunk: int, batch: int,
 
 def make_window_slicer(wav: np.ndarray, win_samples: int):
     """Upload the waveform once; return a jitted (starts (B,)) ->
-    (B, win_samples) device windower (zero-padded past the end)."""
+    (B, win_samples) device windower (zero-padded past the end).
+
+    The waveform buffer is a runtime ARGUMENT of the jitted slice, not a
+    closure capture: captured concrete arrays become HLO constants, and
+    re-baking an hours-long waveform into the program blows the remote
+    compiler's request-size limit (HTTP 413 through the relay).  Callers
+    that embed the slice inside a larger jit must do the same — use
+    ``.func``/``.args[0]`` of the returned partial to thread the buffer
+    through as an argument (the fused chain below does)."""
     wav_dev = jnp.asarray(np.pad(wav, (0, win_samples)))
 
     @jax.jit
@@ -270,8 +278,8 @@ def main(argv=None):
         align_lmax = (args.align_max_tokens
                       or max(64, args.chunk_size // 16))
 
-        def _chain(starts, slens_d):
-            swins = window_slice(starts)
+        def _chain(wav_buf, starts, slens_d):
+            swins = window_slice.func(wav_buf, starts)
             feats, feat_lens = featurize(swins, slens_d, train=False)
             if args.precision == "bf16":
                 feats = feats.astype(jnp.bfloat16)
@@ -359,7 +367,8 @@ def main(argv=None):
                                            frame_shift, frame_length):
         if fuse:
             enc_lens, logp, payload, path, path_ok = chain(
-                jnp.asarray(s0), jnp.asarray(slens))
+                window_slice.args[0], jnp.asarray(s0),
+                jnp.asarray(slens))
             entry = (group, slens, enc_lens, logp, payload, path,
                      path_ok)
         else:
