@@ -48,6 +48,10 @@ def get_args(argv=None):
     p.add_argument("--beam_unroll", type=int, default=1,
                    help="lax.scan unroll for the device beam (per-frame "
                         "loop-overhead amortization A/B)")
+    p.add_argument("--beam_merge", default="sort",
+                   choices=["sort", "pairwise"],
+                   help="device-beam duplicate-merge impl (pairwise = "
+                        "sort-free walk, see rnnt_search)")
     p.add_argument("--fuse", default="off", choices=["on", "off"],
                    help="dispatch encoder+ctc+beam as ONE program per "
                         "iteration (mirrors recognize_wav --fuse)")
@@ -100,7 +104,7 @@ def main(argv=None):
             logp, beam_size=args.beam_size,
             ctc_weight=args.ctc_weight,
             transducer_weight=args.transducer_weight, impl="device",
-            params=params, defer=defer, unroll=args.beam_unroll)
+            params=params, defer=defer, unroll=args.beam_unroll, merge=args.beam_merge)
 
     @jax.jit
     def fused_chain(p, f, l):

@@ -69,6 +69,10 @@ def get_args(argv=None):
                    help="lax.scan unroll factor for the device beam "
                         "(amortizes per-frame loop overhead; compile "
                         "time grows with it)")
+    p.add_argument("--beam_merge", default="sort",
+                   choices=["sort", "pairwise"],
+                   help="device-beam duplicate-merge impl (pairwise = "
+                        "sort-free walk, see rnnt_search)")
     p.add_argument("--align_max_tokens", type=int, default=0,
                    help="fused-chain alignment state budget (top "
                         "hypothesis longer than this falls back to the "
@@ -290,7 +294,7 @@ def main(argv=None):
                 enc_lens, logp, beam_size=args.beam_size,
                 ctc_weight=args.ctc_weight,
                 transducer_weight=args.transducer_weight,
-                params=params, defer=True, unroll=args.beam_unroll,
+                params=params, defer=True, unroll=args.beam_unroll, merge=args.beam_merge,
             )
             path, ok = ctc_utils.force_align_device_tokens(
                 logp, enc_lens, out["hyps"][:, 0, :align_lmax],
@@ -386,7 +390,7 @@ def main(argv=None):
                     ctc_weight=args.ctc_weight,
                     transducer_weight=args.transducer_weight,
                     params=params, defer=True,
-                    unroll=args.beam_unroll,
+                    unroll=args.beam_unroll, merge=args.beam_merge,
                 )
             else:
                 payload = None

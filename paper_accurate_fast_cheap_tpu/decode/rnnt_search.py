@@ -205,6 +205,7 @@ def rnnt_beam_search(
     params: Any = None,
     defer: bool = False,
     unroll: int = 1,
+    merge: str = "sort",
 ):
     """Batched prefix beam search with CTC shallow fusion.
 
@@ -225,7 +226,7 @@ def rnnt_beam_search(
         return _rnnt_beam_search_device(
             predictor_step, joint_step, init_state_fn, enc_out, enc_lens,
             ctc_probs, beam_size, blank_id, ctc_weight, transducer_weight,
-            params, defer, unroll,
+            params, defer, unroll, merge,
         )
     return _rnnt_beam_search_host(
         predictor_step, joint_step, init_state_fn, enc_out, enc_lens,
@@ -324,7 +325,7 @@ def _gather_state(state, sel):
 def _rnnt_beam_search_device(
     predictor_step, joint_step, init_state_fn, enc_out, enc_lens,
     ctc_probs, beam_size, blank_id, ctc_weight, transducer_weight,
-    params=None, defer=False, unroll=1,
+    params=None, defer=False, unroll=1, merge="sort",
 ):
     """Fully on-device prefix beam search (one jitted scan over frames).
 
@@ -397,44 +398,87 @@ def _rnnt_beam_search_device(
         c_h2 = jnp.where(c_adv, src_h2 * P2 + tk * P1, src_h2)
         c_len = src_len + c_adv.astype(jnp.int32)
 
-        # walk candidates in descending score order
-        order = jnp.argsort(-c_score, axis=-1, stable=True)
-        s_score = jnp.take_along_axis(c_score, order, axis=1)
-        s_src = jnp.take_along_axis(c_src, order, axis=1)
-        s_tok = jnp.take_along_axis(c_tok, order, axis=1)
-        s_adv = jnp.take_along_axis(c_adv, order, axis=1)
-        s_h1 = jnp.take_along_axis(c_h1, order, axis=1)
-        s_h2 = jnp.take_along_axis(c_h2, order, axis=1)
-        s_len = jnp.take_along_axis(c_len, order, axis=1)
+        if merge == "pairwise":
+            # sort-free walk: the walk order (score desc, candidate index
+            # asc — exactly stable argsort of -score) is a strict total
+            # order, so everything the sorted walk derives reduces to
+            # pairwise comparisons over the (NK x NK) candidate matrix.
+            # XLA fuses these into a few VPU passes; the sorted variant
+            # pays a stable sort + 7 sorted gathers per frame.  The one
+            # theoretical divergence vs 'sort': when two DISTINCT
+            # prefixes tie on exact merged float score, the final top_k
+            # breaks ties by candidate index here vs walk position there
+            # (same caveat class as `top_k_vocab` chunk-boundary ties).
+            eq = (
+                (c_h1[:, :, None] == c_h1[:, None, :])
+                & (c_h2[:, :, None] == c_h2[:, None, :])
+                & (c_len[:, :, None] == c_len[:, None, :])
+            )                                           # (B, NK, NK)
+            # before[b, j, i]: candidate j precedes i in the walk
+            sc_j, sc_i = c_score[:, :, None], c_score[:, None, :]
+            before = (sc_j > sc_i) | (
+                (sc_j == sc_i) & (jidx[:, None] < jidx[None, :])[None]
+            )
+            is_first = ~jnp.any(eq & before, axis=1)    # (B, NK)
+            firsts_before = jnp.sum(
+                (is_first[:, :, None] & before).astype(jnp.int32), axis=1)
+            # the walk stops once N distinct prefixes exist: a candidate
+            # is inside the walk window iff fewer than N firsts precede it
+            in_win = firsts_before < N                  # (B, NK)
+            contrib = jnp.where(
+                eq & in_win[:, None, :], c_score[:, None, :], NEG
+            )
+            merged = jax.nn.logsumexp(contrib, axis=-1)
+            final = jnp.where(is_first & in_win, merged, NEG)
 
-        eq = (
-            (s_h1[:, :, None] == s_h1[:, None, :])
-            & (s_h2[:, :, None] == s_h2[:, None, :])
-            & (s_len[:, :, None] == s_len[:, None, :])
-        )                                               # (B, NK, NK)
-        eq_before = eq & (jidx[None, :] <= jidx[:, None])[None]
-        first_idx = jnp.argmax(eq_before, axis=-1)      # first equal pos
-        is_first = first_idx == jidx[None, :]
-        urank = jnp.cumsum(is_first.astype(jnp.int32), axis=-1)
-        reached = urank >= N
-        p_pos = jnp.where(
-            jnp.any(reached, axis=-1), jnp.argmax(reached, axis=-1), NK - 1
-        )                                               # (B,)
-        in_win = jidx[None, :] <= p_pos[:, None]        # (B, NK)
-        contrib = jnp.where(
-            eq & in_win[:, None, :], s_score[:, None, :], NEG
-        )
-        merged = jax.nn.logsumexp(contrib, axis=-1)     # (B, NK)
-        final = jnp.where(is_first & in_win, merged, NEG)
+            top_scores, top_pos = jax.lax.top_k(final, N)   # (B, N)
+            ok = top_scores > NEG
+            n_src = jnp.take_along_axis(c_src, top_pos, axis=1)
+            n_tok = jnp.take_along_axis(c_tok, top_pos, axis=1)
+            n_adv = jnp.take_along_axis(c_adv, top_pos, axis=1) & ok
+            n_h1 = jnp.take_along_axis(c_h1, top_pos, axis=1)
+            n_h2 = jnp.take_along_axis(c_h2, top_pos, axis=1)
+            n_len = jnp.take_along_axis(c_len, top_pos, axis=1)
+        else:
+            # walk candidates in descending score order
+            order = jnp.argsort(-c_score, axis=-1, stable=True)
+            s_score = jnp.take_along_axis(c_score, order, axis=1)
+            s_src = jnp.take_along_axis(c_src, order, axis=1)
+            s_tok = jnp.take_along_axis(c_tok, order, axis=1)
+            s_adv = jnp.take_along_axis(c_adv, order, axis=1)
+            s_h1 = jnp.take_along_axis(c_h1, order, axis=1)
+            s_h2 = jnp.take_along_axis(c_h2, order, axis=1)
+            s_len = jnp.take_along_axis(c_len, order, axis=1)
 
-        top_scores, top_pos = jax.lax.top_k(final, N)   # (B, N)
-        ok = top_scores > NEG
-        n_src = jnp.take_along_axis(s_src, top_pos, axis=1)
-        n_tok = jnp.take_along_axis(s_tok, top_pos, axis=1)
-        n_adv = jnp.take_along_axis(s_adv, top_pos, axis=1) & ok
-        n_h1 = jnp.take_along_axis(s_h1, top_pos, axis=1)
-        n_h2 = jnp.take_along_axis(s_h2, top_pos, axis=1)
-        n_len = jnp.take_along_axis(s_len, top_pos, axis=1)
+            eq = (
+                (s_h1[:, :, None] == s_h1[:, None, :])
+                & (s_h2[:, :, None] == s_h2[:, None, :])
+                & (s_len[:, :, None] == s_len[:, None, :])
+            )                                           # (B, NK, NK)
+            eq_before = eq & (jidx[None, :] <= jidx[:, None])[None]
+            first_idx = jnp.argmax(eq_before, axis=-1)  # first equal pos
+            is_first = first_idx == jidx[None, :]
+            urank = jnp.cumsum(is_first.astype(jnp.int32), axis=-1)
+            reached = urank >= N
+            p_pos = jnp.where(
+                jnp.any(reached, axis=-1), jnp.argmax(reached, axis=-1),
+                NK - 1,
+            )                                           # (B,)
+            in_win = jidx[None, :] <= p_pos[:, None]    # (B, NK)
+            contrib = jnp.where(
+                eq & in_win[:, None, :], s_score[:, None, :], NEG
+            )
+            merged = jax.nn.logsumexp(contrib, axis=-1)  # (B, NK)
+            final = jnp.where(is_first & in_win, merged, NEG)
+
+            top_scores, top_pos = jax.lax.top_k(final, N)   # (B, N)
+            ok = top_scores > NEG
+            n_src = jnp.take_along_axis(s_src, top_pos, axis=1)
+            n_tok = jnp.take_along_axis(s_tok, top_pos, axis=1)
+            n_adv = jnp.take_along_axis(s_adv, top_pos, axis=1) & ok
+            n_h1 = jnp.take_along_axis(s_h1, top_pos, axis=1)
+            n_h2 = jnp.take_along_axis(s_h2, top_pos, axis=1)
+            n_len = jnp.take_along_axis(s_len, top_pos, axis=1)
 
         hyps_g = jnp.take_along_axis(
             carry["hyps"], n_src[:, :, None], axis=1
@@ -491,7 +535,7 @@ def _rnnt_beam_search_device(
     key = (id(orig_steps[0]), id(orig_steps[1]), params is None, B, T, N,
            ctc_probs.shape[-1], enc_out.shape[-1], blank_id,
            round(log_tw, 8), round(log_cw, 8),
-           str(enc_out.dtype), str(ctc_probs.dtype), unroll)
+           str(enc_out.dtype), str(ctc_probs.dtype), unroll, merge)
     cached = _DEVICE_BEAM_CACHE.get(key)
     if cached is None:
         # unroll>1 amortizes per-iteration loop overhead of the tiny

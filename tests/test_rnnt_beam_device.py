@@ -46,13 +46,37 @@ class _Setup:
         return predictor_step, joint_step, lambda n: jnp.zeros((n, self.H))
 
 
-def _run_ours(setup, impl, beam=4, cw=0.3, tw=0.7):
+def _run_ours(setup, impl, beam=4, cw=0.3, tw=0.7, merge="sort"):
     ps, js, init = setup.jax_fns()
     return rnnt_search.rnnt_beam_search(
         ps, js, init, jnp.asarray(setup.enc), jnp.asarray(setup.lens),
         jnp.asarray(setup.ctc), beam_size=beam, blank_id=0,
-        ctc_weight=cw, transducer_weight=tw, impl=impl,
+        ctc_weight=cw, transducer_weight=tw, impl=impl, merge=merge,
     )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6])
+def test_pairwise_merge_matches_sort(seed):
+    """The sort-free (pairwise) duplicate-merge must reproduce the sorted
+    walk exactly — hypotheses AND scores (same float ops, same order)."""
+    setup = _Setup(seed)
+    pw = _run_ours(setup, "device", merge="pairwise")
+    srt = _run_ours(setup, "device", merge="sort")
+    host = _run_ours(setup, "host")
+    for p, s, h in zip(pw, srt, host):
+        assert p.nbest == s.nbest == h.nbest, (seed, p.nbest, s.nbest)
+        np.testing.assert_allclose(p.nbest_scores, s.nbest_scores,
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_pairwise_merge_bigger_beam():
+    setup = _Setup(13, B=4, T=20, V=16, H=12)
+    pw = _run_ours(setup, "device", beam=8, merge="pairwise")
+    host = _run_ours(setup, "host", beam=8)
+    for p, h in zip(pw, host):
+        assert p.nbest == h.nbest
+        np.testing.assert_allclose(p.nbest_scores, h.nbest_scores,
+                                   rtol=2e-4, atol=2e-4)
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6])
