@@ -92,12 +92,16 @@ def main(argv=None):
     feed = jnp.bfloat16(0.0)
     for _ in range(args.warmup):
         out = run(feed)
-        # force: read a scalar so the relay actually executes
         feed = (out["scores"][0, 0] * 0).astype(jnp.bfloat16)
+    # HOST read: through the relay, dispatch returns immediately and
+    # unfetched programs may never execute — the fetch both forces the
+    # warmup chain and fences the timed region (NOTES.md "Gotchas")
+    float(feed)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = run(feed)
         feed = (out["scores"][0, 0] * 0).astype(jnp.bfloat16)  # serial dep
+    float(feed)  # forces the whole chained sequence before t1
     elapsed = time.perf_counter() - t0
 
     audio_s = B * T * 0.04 * args.iters  # ds4 frames -> 40 ms each
