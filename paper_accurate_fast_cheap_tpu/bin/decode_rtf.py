@@ -48,7 +48,7 @@ def get_args(argv=None):
     p.add_argument("--beam_unroll", type=int, default=1,
                    help="lax.scan unroll for the device beam (per-frame "
                         "loop-overhead amortization A/B)")
-    p.add_argument("--beam_merge", default="sort",
+    p.add_argument("--beam_merge", default="pairwise",
                    choices=["sort", "pairwise"],
                    help="device-beam duplicate-merge impl (pairwise = "
                         "sort-free walk, see rnnt_search)")

@@ -69,7 +69,7 @@ def get_args(argv=None):
                    help="lax.scan unroll factor for the device beam "
                         "(amortizes per-frame loop overhead; compile "
                         "time grows with it)")
-    p.add_argument("--beam_merge", default="sort",
+    p.add_argument("--beam_merge", default="pairwise",
                    choices=["sort", "pairwise"],
                    help="device-beam duplicate-merge impl (pairwise = "
                         "sort-free walk, see rnnt_search)")

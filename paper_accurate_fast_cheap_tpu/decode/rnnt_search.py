@@ -205,7 +205,7 @@ def rnnt_beam_search(
     params: Any = None,
     defer: bool = False,
     unroll: int = 1,
-    merge: str = "sort",
+    merge: str = "pairwise",
 ):
     """Batched prefix beam search with CTC shallow fusion.
 
@@ -325,7 +325,7 @@ def _gather_state(state, sel):
 def _rnnt_beam_search_device(
     predictor_step, joint_step, init_state_fn, enc_out, enc_lens,
     ctc_probs, beam_size, blank_id, ctc_weight, transducer_weight,
-    params=None, defer=False, unroll=1, merge="sort",
+    params=None, defer=False, unroll=1, merge="pairwise",
 ):
     """Fully on-device prefix beam search (one jitted scan over frames).
 
