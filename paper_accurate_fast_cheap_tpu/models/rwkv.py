@@ -154,11 +154,17 @@ class RWKVTimeMix(nn.Module):
             )
         else:
             # the Pallas kernel has crashed the TPU WORKER (not just the
-            # program) twice at long-form T on real data (NOTES.md
-            # "Pallas WKV at LF shapes"); gate it to the tested range
-            # and fall back to the chunked-XLA formulation beyond it
+            # program) at LF windows — B=4 x T=5000 on real data (NOTES.md
+            # "Pallas WKV at LF shapes") — and repeatedly at batch-64
+            # decode shapes (crash #4, 2026-08-19: B=64 x T=750 = 48k
+            # row-frames took the worker down on every decode_rtf
+            # attempt).  Gate to the proven envelope: every known-good
+            # point has B x T <= 18000 (bench.py's 8 x 2250 LF window
+            # batch, run dozens of times) and every observed crash has
+            # B x T >= 20000; fall back to the chunked-XLA formulation
+            # beyond it.
             impl = self.wkv_impl
-            if impl == "pallas" and T > 8192:
+            if impl == "pallas" and (T > 8192 or B * T > 18432):
                 impl = "chunked"
             wkv_out = wkv6_ops.wkv6(
                 r.reshape(shp), k.reshape(shp), v.reshape(shp),
