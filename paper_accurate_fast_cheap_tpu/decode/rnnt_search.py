@@ -536,7 +536,15 @@ def _rnnt_beam_search_device(
            ctc_probs.shape[-1], enc_out.shape[-1], blank_id,
            round(log_tw, 8), round(log_cw, 8),
            str(enc_out.dtype), str(ctc_probs.dtype), unroll, merge)
-    cached = _DEVICE_BEAM_CACHE.get(key)
+    # Under an OUTER trace (e.g. the fused recognize_wav chain jits this
+    # whole search) every jnp op above — including constants like
+    # `jidx = jnp.arange(NK)` — is staged as a tracer of that trace.  A
+    # cache entry built here would capture those tracers in `step`'s
+    # closure and poison any later same-key call (UnexpectedTracerError),
+    # so tracing callers bypass the cache: their enclosing program is
+    # compiled (and cached) as a whole anyway.
+    tracing = isinstance(jnp.zeros(()) + 0, jax.core.Tracer)
+    cached = None if tracing else _DEVICE_BEAM_CACHE.get(key)
     if cached is None:
         # unroll>1 amortizes per-iteration loop overhead of the tiny
         # (~300-op, no-matmul-bound) step body — the scan's serial
@@ -545,9 +553,10 @@ def _rnnt_beam_search_device(
             lambda cc, xx: step(prms, lens, cc, xx), c, x,
             unroll=unroll)[0])
         # hold the step fns so their id()s stay valid for the cache key
-        _DEVICE_BEAM_CACHE[key] = (run, orig_steps)
-        if len(_DEVICE_BEAM_CACHE) > 16:
-            _DEVICE_BEAM_CACHE.pop(next(iter(_DEVICE_BEAM_CACHE)))
+        if not tracing:
+            _DEVICE_BEAM_CACHE[key] = (run, orig_steps)
+            if len(_DEVICE_BEAM_CACHE) > 16:
+                _DEVICE_BEAM_CACHE.pop(next(iter(_DEVICE_BEAM_CACHE)))
     else:
         run = cached[0]
     out = run(params, carry0, xs, lens_dev)

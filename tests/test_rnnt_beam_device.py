@@ -185,3 +185,31 @@ def test_device_matches_reference_batch(ref_pbs, seed):
             d.nbest_scores, [float(s) for s in r.nbest_scores],
             rtol=2e-4, atol=2e-4,
         )
+
+
+def test_beam_cache_survives_nested_tracing():
+    """Tracing rnnt_beam_search under an OUTER jit twice (same shapes)
+    must not reuse a cached scan whose closure holds first-trace tracers
+    (regression: the fused recognize_wav chain + any same-key re-trace
+    raised UnexpectedTracerError), and a traced call must not poison the
+    cache for later eager same-key calls."""
+    setup = _Setup(11)
+    ps, js, init = setup.jax_fns()
+    enc, lens, ctc = map(
+        jnp.asarray, (setup.enc, setup.lens, setup.ctc))
+
+    def search(e, l, c):
+        out = rnnt_search.rnnt_beam_search(
+            ps, js, init, e, l, c, beam_size=4, blank_id=0,
+            ctc_weight=0.3, transducer_weight=0.7, defer=True)
+        return out["scores"]
+
+    s1 = jax.jit(search)(enc, lens, ctc)          # first trace
+    s2 = jax.jit(search)(enc, lens, ctc)          # fresh jit, re-trace
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))
+    # eager call after traced ones: must not pick up tracer closures
+    eager = rnnt_search.rnnt_beam_search(
+        ps, js, init, enc, lens, ctc, beam_size=4, blank_id=0,
+        ctc_weight=0.3, transducer_weight=0.7, defer=True)
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(eager["scores"]), rtol=1e-6, atol=1e-6)
