@@ -83,6 +83,8 @@ def main(argv=None):
 
         params, _, _ = checkpointing.load_checkpoint(args.checkpoint,
                                                      params)
+        # numpy-fallback restores re-upload per dispatch; commit once
+        params = jax.device_put(params)
     if args.bf16:
         feats = feats.astype(jnp.bfloat16)
         params = jax.tree.map(

@@ -91,6 +91,8 @@ def run_once(args, batch, chunk, output=None):
 
         params, _, _ = checkpointing.load_checkpoint(args.checkpoint,
                                                      params)
+        # numpy-fallback restores re-upload per dispatch; commit once
+        params = jax.device_put(params)
     if args.bf16:
         feats = feats.astype(jnp.bfloat16)
         params = jax.tree.map(

@@ -84,6 +84,12 @@ def build_decode_assets(config, checkpoint, input_dim=80):
                          jnp.asarray([64]), jnp.ones((1, 4), jnp.int32),
                          jnp.asarray([4]))
     params, _, _ = checkpointing.load_checkpoint(checkpoint, params0)
+    # cross-platform restores fall back to NUMPY leaves ("placement
+    # happens lazily"): a jit called with host-numpy weights re-uploads
+    # the whole param set on EVERY dispatch — ~4 s/call for the flagship
+    # through the remote-TPU relay (measured, NOTES.md r3).  Commit the
+    # tree to device once, here, for every decode CLI.
+    params = jax.device_put(params)
     featurize = make_feature_fn(dataset_conf, cmvn_stats)
     return tokenizer, model, model_type, params, featurize, dataset_conf
 
