@@ -428,8 +428,15 @@ def main(argv=None):
     if len(batch_done) > 1:
         steady_rtf = ((batch_done[-1] - batch_done[0])
                       / max(sum(batch_audio[1:]), 1e-9))
+        # median per-batch RTF is robust to transient tunnel hiccups
+        # (observed: one 12 s stall amid 2 s batches); steady_rtf stays
+        # the honest mean — diverging median flags a polluted run
+        per_batch = sorted(t / max(a, 1e-9) for t, a in
+                           zip(batch_times[1:], batch_audio[1:]))
+        median_rtf = per_batch[len(per_batch) // 2]
     else:
         steady_rtf = rtf
+        median_rtf = rtf
     with open(os.path.join(args.output_dir, name + ".ctm"), "w") as f:
         f.write("\n".join(ctm_lines) + ("\n" if ctm_lines else ""))
     with open(os.path.join(args.output_dir, name + ".txt"), "w") as f:
@@ -438,6 +445,7 @@ def main(argv=None):
         f.write(f"final_rtf {rtf:.6f} elapsed {elapsed:.3f} "
                 f"audio_seconds {audio_seconds:.2f}\n")
         f.write(f"steady_rtf {steady_rtf:.6f}\n")
+        f.write(f"median_rtf {median_rtf:.6f}\n")
         f.write("batch_times " +
                 " ".join(f"{t:.3f}" for t in batch_times) + "\n")
         f.write("batch_audio " +
