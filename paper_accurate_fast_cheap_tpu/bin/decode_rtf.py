@@ -100,18 +100,23 @@ def main(argv=None):
     predictor_step, joint_step, init_state_fn = \
         rnnt_search.make_transducer_step_fns(model, params)
 
-    def _search(enc, enc_lens, logp, defer):
+    def _search(p, enc, enc_lens, logp, defer):
+        # thread p (the traced jit argument under fused_chain) into the
+        # beam — passing the concrete module-level params here would bake
+        # the full weight set into the fused HLO as literals (the
+        # HTTP-413 remote-compile failure, NOTES.md round-3 LF section)
         return rnnt_search.rnnt_beam_search(
             predictor_step, joint_step, init_state_fn, enc, enc_lens,
             logp, beam_size=args.beam_size,
             ctc_weight=args.ctc_weight,
             transducer_weight=args.transducer_weight, impl="device",
-            params=params, defer=defer, unroll=args.beam_unroll, merge=args.beam_merge)
+            params=p, defer=defer, unroll=args.beam_unroll,
+            merge=args.beam_merge)
 
     @jax.jit
     def fused_chain(p, f, l):
         enc, logp, enc_lens = enc_ctc(p, f, l)
-        return _search(enc, enc_lens, logp, defer=True)
+        return _search(p, enc, enc_lens, logp, defer=True)
 
     def run():
         if args.mode != "ctc_greedy_search" and args.fuse == "on":
@@ -122,7 +127,7 @@ def main(argv=None):
             res = search.ctc_greedy_search(np.asarray(logp),
                                            np.asarray(enc_lens))
         else:
-            res = _search(enc, enc_lens, logp, defer=False)
+            res = _search(params, enc, enc_lens, logp, defer=False)
         return res
 
     compile_t0 = time.perf_counter()

@@ -157,6 +157,10 @@ def ogg_packets(data: bytes) -> Iterator[Tuple[int, int, bytes]]:
     """Reassemble packets across pages -> (serial, page_granule, packet)."""
     partial = {}  # serial -> bytes
     for serial, htype, granule, segs, complete in ogg_pages(data):
+        if not segs:
+            # zero-segment page (legal per RFC 3533, e.g. granule-only):
+            # a packet continuing across it must keep its carry
+            continue
         carry = partial.pop(serial, b"")
         for i, seg in enumerate(segs):
             pkt = carry + seg if i == 0 else seg

@@ -52,11 +52,25 @@ def make_transducer_step_fns(model, params):
     fns = (predictor_step, joint_step, init_state_fn)
     # keep (model, params) alive so the id-key stays valid; per-batch
     # callers (bin/recognize.decode_batch) rely on stable fn identities
-    # for the device-beam program cache
+    # for the device-beam program cache.  The fns themselves close over
+    # model+params, so each entry pins a full weight tree — cap at 2
+    # (one live model + one being swapped in); processes that cycle many
+    # models should call `clear_decode_caches()` between loads
     _STEP_FNS_CACHE[key] = (fns, model, params)
-    if len(_STEP_FNS_CACHE) > 8:
+    if len(_STEP_FNS_CACHE) > 2:
         _STEP_FNS_CACHE.pop(next(iter(_STEP_FNS_CACHE)))
     return fns
+
+
+def clear_decode_caches() -> None:
+    """Drop every cached decode program and step-fn closure.
+
+    The step-fn and device-beam caches pin the (model, params) trees they
+    were built from (needed so their id()-based keys stay valid); a
+    process cycling several large models can call this after releasing a
+    model to reclaim its host+device memory."""
+    _STEP_FNS_CACHE.clear()
+    _DEVICE_BEAM_CACHE.clear()
 
 
 def _bind_steps(predictor_step, joint_step, params):
@@ -282,9 +296,13 @@ def top_k_vocab(x: jax.Array, k: int, chunk: int = 128):
     practice; all--inf dead-beam rows return -inf everywhere either way).
     """
     V = x.shape[-1]
-    if V <= 8 * chunk:
-        return _top_k_iter(x, k)
     G = (V + chunk - 1) // chunk
+    # k >= G would make _top_k_iter over the G chunk-maxima return
+    # duplicate chunk ids once every chunk is masked (argmax of all -inf
+    # is 0), and the duplicated chunk's elements could then win top-k
+    # twice; the direct path is exact (and no slower: k*chunk >= V)
+    if V <= 8 * chunk or k >= G:
+        return _top_k_iter(x, k)
     pad = G * chunk - V
     if pad:
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)],

@@ -136,12 +136,19 @@ class BeamSearchTransducer:
         self.use_lm = lm is not None
         self._lm_cache = {}
 
+    # one vocab-sized float32 vector per distinct LM state (~20 KB at
+    # vocab 5002); cap the memo so a multi-hour dataset decode through
+    # one searcher instance cannot grow RSS unboundedly
+    _LM_CACHE_CAP = 8192
+
     # -- LM shallow fusion helpers (`:121-139`) --------------------------
     def _lm_vec(self, state: tuple) -> np.ndarray:
         v = self._lm_cache.get(state)
         if v is None:
             v, _ = self.lm.score(state, None)
             self._lm_cache[state] = v
+            if len(self._lm_cache) > self._LM_CACHE_CAP:
+                self._lm_cache.pop(next(iter(self._lm_cache)))
         return v
 
     def _lm_adv(self, state: tuple, tok: int) -> tuple:

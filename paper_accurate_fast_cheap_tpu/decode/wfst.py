@@ -191,11 +191,15 @@ class LGScorer:
     """
 
     def __init__(self, L: Fst, G: Fst, lm_order_hint: int = 3,
-                 oov_logp: float = -20.0, max_frontier: int = 16):
+                 oov_logp: float = -20.0, max_frontier: int = 16,
+                 vocab_size: Optional[int] = None):
         self.L = L
         self.G = G
         self.oov_logp = oov_logp
         self.max_frontier = max_frontier
+        # score vectors must cover the MODEL vocab, not just the lexicon's
+        # largest token id — beams index vec[tok] for any proposed token
+        self.vocab_size = vocab_size
         # per-L-state token arc index
         self._l_index: List[Dict[int, List[Tuple[int, int]]]] = []
         for arcs in L.arcs:
@@ -220,6 +224,9 @@ class LGScorer:
             self._g_index.append(d2)
             self._g_backoff.append(bo)
         self._vec_cache: Dict[tuple, np.ndarray] = {}
+        self._vec_cache_cap = 8192  # ~20 KB/vector at vocab 5002
+        self._n_tokens = max((max(d) for d in self._l_index if d),
+                             default=0) + 1
 
     # -- scorer protocol --------------------------------------------------
     def init_state(self):
@@ -267,8 +274,9 @@ class LGScorer:
         st = self.advance(state, token) if token is not None else state
         vec = self._vec_cache.get(st)
         if vec is None:
-            n_tokens = max((max(d) for d in self._l_index if d),
-                           default=0) + 1
+            n_tokens = self._n_tokens
+            if self.vocab_size is not None:
+                n_tokens = max(n_tokens, self.vocab_size)
             vec = np.full((n_tokens,), self.oov_logp, np.float32)
             for cost, ls, gs in st:
                 for tok, pairs in self._l_index[ls].items():
@@ -283,6 +291,8 @@ class LGScorer:
                         if lp > vec[tok]:
                             vec[tok] = lp
             self._vec_cache[st] = vec
+            if len(self._vec_cache) > self._vec_cache_cap:
+                self._vec_cache.pop(next(iter(self._vec_cache)))
         return vec, st
 
 

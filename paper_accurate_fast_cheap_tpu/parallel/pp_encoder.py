@@ -150,14 +150,22 @@ def _build_layer_template(enc_conf: Dict):
 def pp_encoder_forward(enc_conf: Dict, enc_params: Dict, feats, lens,
                        mesh: Mesh, axis: str = "stage",
                        n_microbatches: int | None = None,
-                       deterministic: bool = True):
+                       deterministic: bool = True, rng=None):
     """Features -> encoder outputs with the block stack pipelined.
 
     ``enc_params`` is the UNSPLIT encoder subtree (params['encoder']);
     splitting/stacking happens here so callers keep the canonical
     checkpoint layout.  Matches `ConformerEncoder.__call__`'s
     full-context path (`models/conformer.py:380-460`) numerically.
+
+    With ``deterministic=False`` (requires ``rng``) the subsampling and
+    positional-encoding dropout are live; the pipelined BLOCKS always run
+    deterministically — the GPipe tick loop would need per-stage,
+    per-microbatch rng threading to reproduce sequential dropout masks.
     """
+    frontend_rngs = (
+        {"dropout": rng} if (rng is not None and not deterministic)
+        else None)
     enc = _encoder_module(enc_conf)
     num_blocks = enc.num_blocks
     S = mesh.shape[axis]
@@ -168,7 +176,8 @@ def pp_encoder_forward(enc_conf: Dict, enc_params: Dict, feats, lens,
         dropout_rate=enc.dropout_rate, name="embed",
     )
     xs, out_lens = sub.apply({"params": rest["embed"]}, feats, lens,
-                             deterministic=deterministic)
+                             deterministic=deterministic,
+                             rngs=frontend_rngs)
     out_lens = jnp.minimum(out_lens, xs.shape[1])
     pos_mod = EMB_CLASSES[enc.pos_enc_layer_type](
         d_model=enc.output_size,
@@ -176,7 +185,8 @@ def pp_encoder_forward(enc_conf: Dict, enc_params: Dict, feats, lens,
         name="pos_enc",
     )
     xs, pos_emb = pos_mod.apply({"params": rest.get("pos_enc", {})}, xs,
-                                deterministic=deterministic)
+                                deterministic=deterministic,
+                                rngs=frontend_rngs)
 
     T = xs.shape[1]
     pad_mask = mask_utils.make_pad_mask(out_lens, T)
@@ -189,10 +199,12 @@ def pp_encoder_forward(enc_conf: Dict, enc_params: Dict, feats, lens,
         per = jax.tree.leaves(stage_blocks)[0].shape[0]
         for j in range(per):
             blk = jax.tree.map(lambda a: a[j], stage_blocks)
+            # blocks are always deterministic: no per-stage rng threading
+            # through the GPipe ticks (see docstring)
             x = layer.apply(
                 {"params": blk}, x, extra["att_mask"], pos_emb,
                 extra["pad_mask"], extra["lens"],
-                deterministic=deterministic)
+                deterministic=True)
         return x
 
     extra = {"att_mask": att_mask, "pad_mask": pad_mask, "lens": out_lens}
@@ -214,20 +226,26 @@ def make_pp_loss_fn(model, enc_conf: Dict, mesh: Mesh,
 
     Signature matches the sequential loss closure used by
     `train/train_step.make_train_step`: (params, batch, rng) -> (loss,
-    metrics).  Dropout is disabled inside the pipelined blocks (the
-    GPipe tick loop would need per-stage rng threading); the surrounding
-    subsampling/decoder/predictor keep theirs.
+    metrics).  With an rng, dropout is LIVE in the subsampling frontend
+    and the post-encoder half (CTC/attention heads, predictor, joint);
+    it is disabled only inside the pipelined blocks (the GPipe tick loop
+    would need per-stage, per-microbatch rng threading).  rng=None runs
+    fully deterministic (eval / parity testing).
     """
     def loss_fn(params, batch, rng):
         feats, feat_lens, labels, label_lens = batch[:4]
         p = params["params"]
+        det = rng is None
+        r_enc = r_loss = None
+        if not det:
+            r_enc, r_loss = jax.random.split(rng)
         enc, enc_lens = pp_encoder_forward(
             enc_conf, p["encoder"], feats, feat_lens, mesh, axis=axis,
-            n_microbatches=n_microbatches, deterministic=True)
+            n_microbatches=n_microbatches, deterministic=det, rng=r_enc)
         out = model.apply(
             {"params": p}, enc, enc_lens, labels, label_lens,
-            deterministic=True, method=model.loss_from_encoder,
-            rngs={"dropout": rng} if rng is not None else None,
+            deterministic=det, method=model.loss_from_encoder,
+            rngs={"dropout": r_loss} if not det else None,
         )
         return out["loss"], out
 

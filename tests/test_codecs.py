@@ -143,3 +143,24 @@ def test_mp3_raw_entry_decodes(tmp_path, tok):
     assert len(out) == 1
     assert out[0]["sample_rate"] == 16000
     assert abs(len(out[0]["wav"]) - len(x)) < 4000
+
+
+def test_ogg_zero_segment_page_keeps_continuation():
+    """RFC 3533 allows pages with zero lacing values (e.g. granule-only);
+    a packet spanning such a page must not lose its continuation carry."""
+    import struct
+
+    def page(serial, seq, htype, granule, lacing, body):
+        hdr = struct.pack("<4sBBqIIIB", b"OggS", 0, htype, granule,
+                          serial, seq, 0, len(lacing)) + bytes(lacing)
+        return hdr + bytes(body)
+
+    pkt = bytes(range(256)) + b"tail-bytes" * 5  # 306 bytes, spans pages
+    first, rest = pkt[:255], pkt[255:]
+    stream = (
+        page(7, 0, 0, -1, [255], first)        # starts pkt, continues
+        + page(7, 1, 1, 1234, [], b"")         # zero-segment page
+        + page(7, 2, 1, 5678, [len(rest)], rest)  # finishes pkt
+    )
+    got = list(codecs.ogg_packets(stream))
+    assert got == [(7, 5678, pkt)], [(s, g, len(p)) for s, g, p in got]

@@ -306,6 +306,19 @@ def test_decode_rtf_cli(tmp_path):
         txt = out.read_text()
         assert "final_rtf" in txt and f"decode_{mode}" in txt
 
+    # fused single-dispatch chain: params must ride as traced jit args
+    # (regression: _search used to close over the concrete weights,
+    # baking them into the fused HLO as literals)
+    out = tmp_path / "fused.rtf"
+    rc = main([
+        "--config", str(cfg_path), "--mode", "rnnt_beam_search",
+        "--batch_size", "2", "--chunk_size", "120",
+        "--beam_size", "2", "--warmup", "1", "--iters", "2",
+        "--no-bf16", "--fuse", "on", "--output", str(out),
+    ])
+    assert rc == 0
+    assert "fuse on" in out.read_text()
+
 
 def test_data_tools_validate(tmp_path):
     """data_tools validate: kaldi-dir and raw-list sanity checks

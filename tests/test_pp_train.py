@@ -153,3 +153,31 @@ def test_dirdrop_rejected():
                     input_size=DIM)
     with pytest.raises(ValueError, match="layer id"):
         pp_encoder._build_layer_template(enc_conf)
+
+
+def test_pp_loss_dropout_live_with_rng():
+    """With an rng, dropout must be LIVE outside the pipelined blocks
+    (subsampling + post-encoder heads) — make_pp_loss_fn used to hardcode
+    deterministic=True, silently training unregularized.  rng=None stays
+    fully deterministic (the parity contract above)."""
+    model, params, enc_conf, batch = _setup("selfattn")
+    enc_conf = dict(enc_conf, dropout_rate=0.3,
+                    positional_dropout_rate=0.3)
+    cfg = _config("selfattn")
+    cfg["encoder_conf"]["dropout_rate"] = 0.3
+    cfg["encoder_conf"]["positional_dropout_rate"] = 0.3
+    model, _ = factory.init_model(cfg, VOCAB, DIM)
+    mesh = _stage_mesh(2)
+    pp_loss = pp_encoder.make_pp_loss_fn(model, enc_conf, mesh)
+
+    l_det1, _ = pp_loss(params, batch, None)
+    l_det2, _ = pp_loss(params, batch, None)
+    np.testing.assert_allclose(float(l_det1), float(l_det2))
+
+    l_a, _ = pp_loss(params, batch, jax.random.PRNGKey(0))
+    l_b, _ = pp_loss(params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(l_a)) and np.isfinite(float(l_b))
+    # different dropout masks -> different losses, and both differ from
+    # the deterministic loss
+    assert float(l_a) != float(l_b)
+    assert float(l_a) != float(l_det1)

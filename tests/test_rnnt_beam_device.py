@@ -213,3 +213,22 @@ def test_beam_cache_survives_nested_tracing():
         ctc_weight=0.3, transducer_weight=0.7, defer=True)
     np.testing.assert_allclose(
         np.asarray(s1), np.asarray(eager["scores"]), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("V,k", [(1100, 16), (1100, 9), (2000, 8)])
+def test_top_k_vocab_no_duplicates(V, k):
+    """k >= number-of-chunks used to duplicate tokens: _top_k_iter over the
+    G chunk maxima returns chunk id 0 once every chunk is masked (argmax
+    of all -inf), so the duplicated chunk's elements could win top-k twice
+    with finite scores.  V=1100 -> G=9 chunks (>8*128 so the chunked path
+    is eligible); k=16 and k=9 hit the guard, k=8/V=2000 exercises the
+    two-level path itself."""
+    rng = np.random.RandomState(V + k)
+    x = jnp.asarray(rng.randn(3, V).astype(np.float32))
+    vals, idx = jax.jit(
+        lambda a: rnnt_search.top_k_vocab(a, k))(x)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    for b in range(x.shape[0]):
+        assert len(set(idx[b].tolist())) == k, idx[b]
+        ref = np.sort(np.asarray(x)[b])[::-1][:k]
+        np.testing.assert_allclose(np.sort(vals[b])[::-1], ref, rtol=1e-6)

@@ -189,3 +189,16 @@ def test_hlg_rescore_decoder_scales(lm):
     assert res0[0].nbest == res1[0].nbest
     assert any(abs(a - b) > 1e-9 for a, b in
                zip(res0[0].nbest_scores, res1[0].nbest_scores))
+
+
+def test_lg_scorer_vocab_size_covers_oov_tokens(lm):
+    """Score vectors must cover the MODEL vocab, not just the lexicon's
+    largest token id — beams index vec[tok] for any proposed token."""
+    sc = wfst.LGScorer(wfst.lexicon_to_l(LEXICON), wfst.arpa_to_g(lm),
+                       vocab_size=10)
+    vec, st = sc.score(sc.init_state(), None)
+    assert vec.shape[0] == 10
+    # tokens beyond the lexicon's max id (4) exist and carry oov_logp
+    assert vec[9] == pytest.approx(sc.oov_logp)
+    # lexicon-covered tokens still score above the OOV floor
+    assert vec[1] > sc.oov_logp
