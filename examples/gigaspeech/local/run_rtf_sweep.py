@@ -94,6 +94,32 @@ def main(argv=None):
              for f in sorted(os.listdir(args.out_dir))
              if f.endswith(".rtf")]
     rows = rtf_tables.aggregate(paths)
+    # merge with the cells already recorded in BENCH_SWEEP.md so a
+    # partial re-run (new models, new out_dir) never drops prior
+    # coverage; a re-measured (model, batch, chunk) cell wins
+    new_keys = {(r.get("model"), r.get("batch"), r.get("chunk"))
+                for r in rows}
+    sweep_md = os.path.join(REPO, "BENCH_SWEEP.md")
+    if os.path.exists(sweep_md):
+        import re as _re
+
+        with open(sweep_md) as f:
+            for line in f:
+                m = _re.match(
+                    r"\|\s*(\S+)\s*\|\s*(\d+)\s*\|\s*(\d+)\s*\|"
+                    r"\s*(\d+)\s*\|\s*(\d+)\s*\|\s*(\d+)\s*\|", line)
+                if not m:
+                    continue
+                key = (m.group(1), int(m.group(2)), int(m.group(3)))
+                if key in new_keys:
+                    continue
+                rows.append({"model": key[0], "batch": key[1],
+                             "chunk": key[2],
+                             "inv_rtf_mean": float(m.group(4)),
+                             "inv_rtf_std": float(m.group(5)),
+                             "n": int(m.group(6))})
+    rows.sort(key=lambda r: (str(r.get("model")), r.get("batch") or 0,
+                             r.get("chunk") or 0))
     lines = [
         "# BENCH_SWEEP — encoder RTF sweep (single v5e chip)",
         "",
