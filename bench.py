@@ -18,6 +18,7 @@ number (7695x in round 2) lives in BENCH_SWEEP.md.
 
 Prints exactly one JSON line.
 """
+import argparse
 import functools
 import json
 import time
@@ -28,6 +29,14 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    # default = the paper's 90 s LF window point; --batch/--frames let the
+    # batch-geometry frontier (BENCH_SWEEP.md LF sweep) be re-measured
+    # without editing the driver contract (no args => same JSON line)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=9000)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
     from __graft_entry__ import FLAGSHIP_ENCODER, VOCAB
 
     from paper_accurate_fast_cheap_tpu.decode import rnnt_search
@@ -50,7 +59,7 @@ def main():
     model, _ = factory.init_model(config, VOCAB, 80)
 
     # LF operating point: batch of 90 s windows, beam 8 (paper protocol)
-    B, T, BEAM = 8, 9000, 8
+    B, T, BEAM = args.batch, args.frames, 8
     feats = jax.random.normal(jax.random.PRNGKey(0), (B, T, 80)
                               ).astype(jnp.bfloat16)
     lens = jnp.full((B,), T, jnp.int32)
@@ -97,7 +106,7 @@ def main():
     res = run()
     compile_s = time.perf_counter() - t0
 
-    iters = 3
+    iters = args.iters
     t0 = time.perf_counter()
     for _ in range(iters):
         res = run()
