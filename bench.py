@@ -30,10 +30,12 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    # default = the paper's 90 s LF window point; --batch/--frames let the
-    # batch-geometry frontier (BENCH_SWEEP.md LF sweep) be re-measured
-    # without editing the driver contract (no args => same JSON line)
-    ap.add_argument("--batch", type=int, default=8)
+    # default = the paper's 90 s LF window point at the measured
+    # batch frontier (8/32/64 -> 1733/1997/1971x on the v5e: per-frame
+    # beam cost saturates at B>=32, see BENCH_SWEEP.md); --batch/--frames
+    # let other geometries be re-measured without editing the driver
+    # contract (no args => same JSON line)
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--frames", type=int, default=9000)
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
