@@ -28,6 +28,10 @@ import numpy as np
 class PartialResult:
     text: str
     tokens: List[int]
+    # per-token audio-time (s) of the encoder frame that emitted it —
+    # the greedy-CTC peak position, same timing the offline CTM path
+    # reports (`bin/recognize_wav` / `recognize_wav2.py:523-552`)
+    times: List[float] = dataclasses.field(default_factory=list)
     final: bool = False
 
 
@@ -60,6 +64,9 @@ class StreamingSession:
         self._offset = 0
         self._prev_tok = blank_id    # greedy collapse across chunks
         self._tokens: List[int] = []
+        self._token_frames: List[int] = []   # absolute encoder frame ids
+        # encoder frame -> seconds (ds `subsampling` x 10 ms fbank shift)
+        self._frame_sec = subsampling * frame_shift / 16000.0
         self._done = False
 
         cache = _program_cache if _program_cache is not None else {}
@@ -102,7 +109,9 @@ class StreamingSession:
 
     def partial(self) -> PartialResult:
         text, _ = self._tokenizer.detokenize(self._tokens)
-        return PartialResult(text=text, tokens=list(self._tokens))
+        return PartialResult(
+            text=text, tokens=list(self._tokens),
+            times=[f * self._frame_sec for f in self._token_frames])
 
     # -- internals --------------------------------------------------------
     def _try_chunk(self, flush: bool) -> bool:
@@ -129,10 +138,11 @@ class StreamingSession:
             jnp.int32(self._offset))
         n = int(el[0])
         best = np.asarray(jnp.argmax(logp[0, :n], axis=-1))
-        for t in best:
+        for i, t in enumerate(best):
             t = int(t)
             if t != self._blank and t != self._prev_tok:
                 self._tokens.append(t)
+                self._token_frames.append(self._offset + i)
             self._prev_tok = t
         self._state = st
         self._offset += n

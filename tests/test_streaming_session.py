@@ -83,6 +83,15 @@ def test_streaming_session_matches_offline():
         final = sess.finalize()
         assert final.final
         assert final.tokens == offline, (tail, final.tokens, offline)
+        # per-token timestamps: one per token, the greedy peak frame's
+        # audio time — non-decreasing, within the utterance, on the
+        # 40 ms ds4 grid
+        assert len(final.times) == len(final.tokens)
+        audio_sec = n_samples / 16000.0
+        assert all(0.0 <= t <= audio_sec + 0.04 for t in final.times)
+        assert all(b >= a for a, b in zip(final.times, final.times[1:]))
+        assert all(abs(t / 0.04 - round(t / 0.04)) < 1e-6
+                   for t in final.times)
 
         # a second session reuses the compiled programs, independent
         sess2 = factory_fn()
