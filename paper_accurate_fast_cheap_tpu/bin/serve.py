@@ -179,19 +179,22 @@ class ASRHandler(socketserver.BaseRequestHandler):
                         pcm = b""
                         last_partial_samples = 0
                         mode = msg.get("decode_mode", mode)
+                        if session is not None:
+                            session.abort()
                         session = None
                         last_partial_text = None
                         if msg.get("streaming"):
                             # incremental session: state-carried causal
                             # encoder, O(T) total work (the offline mode
                             # re-decodes the whole buffer per partial)
-                            session = self.server.session_factory()
+                            session = self._open_session()
                         write_frame(sock, json.dumps(
                             {"status": "ok",
                              "type": "server_ready"}).encode())
                     elif msg.get("signal") == "end":
                         if session is not None:
                             text = session.finalize().text
+                            session = None
                         else:
                             text = self._decode(worker, pcm, mode)
                         write_frame(sock, json.dumps(
@@ -229,6 +232,23 @@ class ASRHandler(socketserver.BaseRequestHandler):
                     {"status": "failed", "message": str(e)}).encode())
             except OSError:
                 pass
+        finally:
+            if session is not None:   # dropped connection: free the slot
+                try:
+                    session.abort()
+                except Exception:     # noqa: BLE001
+                    log.exception("session abort failed")
+
+    def _open_session(self):
+        """Batched-worker slot if configured (and not full), else a
+        dedicated per-connection session."""
+        worker = getattr(self.server, "stream_worker", None)
+        if worker is not None:
+            try:
+                return _BatchSessionAdapter(worker)
+            except RuntimeError:      # all slots busy — degrade, don't drop
+                log.warning("streaming_batch slots full; dedicated session")
+        return self.server.session_factory()
 
     @staticmethod
     def _decode(worker, pcm: bytes, mode: str) -> str:
@@ -242,10 +262,35 @@ class ASRServer(socketserver.ThreadingTCPServer):
     daemon_threads = True
 
 
+class _BatchSessionAdapter:
+    """Session-shaped view of one BatchStreamWorker slot (so the ws
+    handler code is identical for batched and per-connection modes)."""
+
+    def __init__(self, worker):
+        self._w = worker
+        self._sid = worker.open()
+        self._closed = False
+
+    def accept_waveform(self, wav):
+        self._w.accept_waveform(self._sid, wav)
+        return self._w.partial(self._sid)
+
+    def finalize(self):
+        self._closed = True
+        return self._w.finalize(self._sid)
+
+    def abort(self):
+        if not self._closed:          # free the slot on connection drop
+            self._closed = True
+            self._w.finalize(self._sid)
+
+
 def serve(model, host: str = "0.0.0.0", port: int = 10086,
           partial_interval: float = 2.0, max_batch: int = 8,
-          streaming_chunk: int = 16):
+          streaming_chunk: int = 16, streaming_batch: int = 0):
     from paper_accurate_fast_cheap_tpu.streaming import (
+        BatchStreamWorker,
+        StreamingBatch,
         make_session_factory,
     )
 
@@ -259,6 +304,18 @@ def serve(model, host: str = "0.0.0.0", port: int = 10086,
     srv.session_factory = make_session_factory(
         model.model, model.params, model.tokenizer, model.featurize,
         decoding_chunk_size=streaming_chunk)
+    srv.stream_worker = None
+    if streaming_batch > 0:
+        # slot-batched streaming: one fused device step advances ALL
+        # connections' windows (recurrent-attention encoders only)
+        try:
+            srv.stream_worker = BatchStreamWorker(StreamingBatch(
+                model.model, model.params, model.tokenizer,
+                model.featurize, max_sessions=streaming_batch,
+                decoding_chunk_size=streaming_chunk))
+        except ValueError as e:
+            log.warning("--streaming_batch unavailable (%s); using "
+                        "per-connection sessions", e)
     log.info("serving on ws://%s:%d", host, port)
     return srv
 
@@ -275,6 +332,10 @@ def main(argv=None):
     p.add_argument("--streaming_chunk", type=int, default=16,
                    help="encoder frames per incremental chunk for "
                         "streaming sessions")
+    p.add_argument("--streaming_batch", type=int, default=0,
+                   help="slot-batch up to N concurrent streaming "
+                        "connections into one fused device step "
+                        "(recurrent-attention causal encoders only)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     from paper_accurate_fast_cheap_tpu.api import load_model
@@ -282,7 +343,8 @@ def main(argv=None):
     model = load_model(args.model_dir, args.checkpoint)
     srv = serve(model, args.host, args.port, args.partial_interval,
                 max_batch=args.max_batch,
-                streaming_chunk=args.streaming_chunk)
+                streaming_chunk=args.streaming_chunk,
+                streaming_batch=args.streaming_batch)
     srv.serve_forever()
     return 0
 

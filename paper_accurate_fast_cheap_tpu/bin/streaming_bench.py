@@ -65,6 +65,10 @@ def get_args(argv=None):
     p.add_argument("--realtime", action="store_true",
                    help="pace the feed at real time and wall-clock "
                         "emissions (utt_seconds wall per utterance)")
+    p.add_argument("--concurrent", type=int, default=1,
+                   help=">1: serve N sessions via StreamingBatch (one "
+                        "fused device step advances all N windows); "
+                        "reports AGGREGATE streaming RTF")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--json", dest="json_out", default=None,
@@ -82,6 +86,128 @@ def _percentiles(vals: List[float]):
             "p90": float(np.percentile(a, 90)),
             "p99": float(np.percentile(a, 99)),
             "max": float(a.max()), "mean": float(a.mean())}
+
+
+def _run_batched(args, batch, make_wav, piece, stride_sec):
+    """Concurrent-session measurement: N identical-rate sessions advance
+    in lockstep, one fused dispatch per window round.  Reported RTF is
+    AGGREGATE (compute seconds per total audio second across sessions),
+    so 1/rtf is the chip's concurrent real-time session capacity."""
+    import time
+
+    from paper_accurate_fast_cheap_tpu.tools import latency_metrics
+
+    N = args.concurrent
+    piece_sec = piece / 16000.0
+
+    # warmup: compile the one fused step program (+ flush via finalize)
+    t0 = time.perf_counter()
+    sids = [batch.open() for _ in range(N)]
+    for s in sids:
+        batch.accept_waveform(s, make_wav()[: batch._win_samples + piece])
+    while batch.any_ready():
+        batch.step()
+    for s in sids:
+        batch.finalize(s)
+    compile_s = time.perf_counter() - t0
+    logging.info("fused step compiled in %.1f s", compile_s)
+
+    step_lat: List[float] = []
+    per_utt: List[latency_metrics.UttLatency] = []
+    total_compute = 0.0
+    total_audio = 0.0
+
+    for _ in range(args.n_utts):
+        wavs = [make_wav() for _ in range(N)]
+        total_audio += sum(len(w) for w in wavs) / 16000.0
+        sids = [batch.open() for _ in range(N)]
+        refs = {s: [] for s in sids}
+        emits = {s: [] for s in sids}
+        ntok = {s: 0 for s in sids}
+        utt_steps: List[float] = []
+        t_start = time.perf_counter()
+        n = len(wavs[0])
+        for i in range(0, n, piece):
+            if args.realtime:
+                tgt = t_start + (i + piece) / 16000.0
+                now = time.perf_counter()
+                if tgt > now:
+                    time.sleep(tgt - now)
+            for s, w in zip(sids, wavs):
+                batch.accept_waveform(s, w[i: i + piece])
+            while batch.any_ready():
+                c0 = time.perf_counter()
+                out = batch.step()
+                dt = time.perf_counter() - c0
+                total_compute += dt
+                utt_steps.append(dt)
+                wall = time.perf_counter() - t_start
+                for s, part in out.items():
+                    if len(part.tokens) > ntok[s]:
+                        if args.realtime:
+                            emits[s].extend(
+                                [wall] * (len(part.tokens) - ntok[s]))
+                        refs[s].extend(part.times[ntok[s]:])
+                        ntok[s] = len(part.tokens)
+        for s in sids:
+            batch.flush(s)
+        while not all(batch.is_done(s) for s in sids):
+            c0 = time.perf_counter()
+            out = batch.step()
+            dt = time.perf_counter() - c0
+            total_compute += dt
+            wall = time.perf_counter() - t_start
+            for s, part in out.items():
+                if len(part.tokens) > ntok[s]:
+                    if args.realtime:
+                        emits[s].extend(
+                            [wall] * (len(part.tokens) - ntok[s]))
+                    refs[s].extend(part.times[ntok[s]:])
+                    ntok[s] = len(part.tokens)
+        for s in sids:
+            batch.close(s)
+        step_lat.extend(utt_steps)
+
+        comp = float(np.median(utt_steps)) if utt_steps else 0.0
+        for s in sids:
+            if not args.realtime:
+                emits[s] = []
+                for f in [t / (batch._sub * batch._shift / 16000.0)
+                          for t in refs[s]]:
+                    w = int(f) // args.chunk
+                    win_end = ((w + 1) * args.chunk * batch._sub - 1) \
+                        * batch._shift + batch._flen
+                    arrive = np.ceil(win_end / piece) * piece_sec
+                    emits[s].append(arrive + comp)
+            per_utt.append(latency_metrics.utterance_latency(
+                emits[s], refs[s]))
+
+    rtf = total_compute / total_audio
+    report = {
+        "metric": "streaming",
+        "concurrent": N,
+        "chunk": args.chunk,
+        "stride_ms": stride_sec * 1000.0,
+        "mode": "realtime" if args.realtime else "analytic",
+        "window_compute_ms": {k: v * 1000.0 for k, v in
+                              _percentiles(step_lat).items()},
+        "streaming_rtf": rtf,
+        "concurrent_realtime_sessions": int(1.0 / rtf) if rtf > 0 else -1,
+        "emission_latency_ms": {
+            k: {kk: vv * 1000.0 for kk, vv in d.items()}
+            for k, d in latency_metrics.latency_report(per_utt).items()},
+        "compile_s": compile_s,
+        "n_utts": args.n_utts,
+        "utt_seconds": args.utt_seconds,
+        "piece_ms": args.piece_ms,
+        "device": str(jax.devices()[0]),
+    }
+    line = json.dumps(report)
+    print(line)
+    if args.json_out:
+        with open(args.json_out, "a", encoding="utf-8") as f:
+            f.write(line + "\n")
+    return report
 
 
 def main(argv=None):
@@ -144,6 +270,16 @@ def main(argv=None):
 
     def make_wav():
         return (rng.randn(n_samples) * 0.1).astype(np.float32)
+
+    if args.concurrent > 1:
+        from paper_accurate_fast_cheap_tpu.streaming import StreamingBatch
+
+        batch = StreamingBatch(
+            model, params, _BenchTokenizer(), featurize,
+            max_sessions=args.concurrent,
+            decoding_chunk_size=args.chunk, subsampling=sub,
+            frame_shift=shift, frame_length=flen)
+        return _run_batched(args, batch, make_wav, piece, stride_sec)
 
     # ---- warmup: compile the chunk + tail programs -----------------------
     t0 = time.perf_counter()
