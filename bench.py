@@ -90,16 +90,17 @@ def main():
     def full_chain(prm, f, l):
         enc, el = model.apply(prm, f, l, method=model.forward_encoder)
         logp = model.apply(prm, enc, method=model.ctc_logprobs)
-        return rnnt_search.rnnt_beam_search(
+        return rnnt_search.pack_device_beam(rnnt_search.rnnt_beam_search(
             predictor_step, joint_step, init_state_fn, enc, el, logp,
             beam_size=BEAM, ctc_weight=0.3, transducer_weight=0.7,
-            impl="device", params=prm, defer=True)
+            impl="device", params=prm, defer=True))
 
     def run():
-        # finalize fetches the beam arrays -> forces real execution of
-        # this iteration's chain (relay skips unfetched programs)
-        return rnnt_search.finalize_device_beam(full_chain(
-            params, feats, lens))
+        # finalize fetches the packed beam buffer (ONE host round trip)
+        # -> forces real execution of this iteration's chain (relay
+        # skips unfetched programs)
+        return rnnt_search.finalize_device_beam(
+            full_chain(params, feats, lens), beam=BEAM)
 
     # warmup/compile (through the remote-TPU relay the first
     # block_until_ready can return early; the beam's host reads inside
@@ -108,10 +109,19 @@ def main():
     res = run()
     compile_s = time.perf_counter() - t0
 
+    # two-deep software pipeline, same as the product path
+    # (`recognize_wav` dispatch/finalize overlap): batch i+1's chain is
+    # dispatched before batch i's packed fetch, hiding fetch transport
+    # behind device compute.  Every iteration's output IS fetched, so
+    # the relay executes every chain (NOTES.md "Gotchas").
     iters = args.iters
     t0 = time.perf_counter()
-    for _ in range(iters):
-        res = run()
+    pending = full_chain(params, feats, lens)
+    for _ in range(iters - 1):
+        nxt = full_chain(params, feats, lens)
+        res = rnnt_search.finalize_device_beam(pending, beam=BEAM)
+        pending = nxt
+    res = rnnt_search.finalize_device_beam(pending, beam=BEAM)
     elapsed = time.perf_counter() - t0
 
     n_tok = float(np.mean([len(r.tokens) for r in res]))

@@ -116,12 +116,14 @@ def main(argv=None):
     @jax.jit
     def fused_chain(p, f, l):
         enc, logp, enc_lens = enc_ctc(p, f, l)
-        return _search(p, enc, enc_lens, logp, defer=True)
+        # packed: finalize costs ONE host fetch instead of three
+        return rnnt_search.pack_device_beam(
+            _search(p, enc, enc_lens, logp, defer=True))
 
     def run():
         if args.mode != "ctc_greedy_search" and args.fuse == "on":
             return rnnt_search.finalize_device_beam(
-                fused_chain(params, feats, lens))
+                fused_chain(params, feats, lens), beam=args.beam_size)
         enc, logp, enc_lens = enc_ctc(params, feats, lens)
         if args.mode == "ctc_greedy_search":
             res = search.ctc_greedy_search(np.asarray(logp),

@@ -312,7 +312,9 @@ def main(argv=None):
                 logp, enc_lens, out["hyps"][:, 0, :align_lmax],
                 out["hyp_len"][:, 0],
             )
-            return enc_lens, logp, out, path, ok
+            # packed beam: finalize fetches ONE buffer instead of three
+            return enc_lens, logp, rnnt_search.pack_device_beam(out), \
+                path, ok
 
         chain = functools.partial(jax.jit(_chain), params)
 
@@ -322,7 +324,8 @@ def main(argv=None):
         group, slens, enc_lens, logp, payload, path, path_ok = entry
         lens_np = np.asarray(enc_lens)
         if args.mode == "rnnt_beam_search":
-            res = rnnt_search.finalize_device_beam(payload)
+            res = rnnt_search.finalize_device_beam(
+                payload, beam=args.beam_size)
         elif args.mode == "ctc_greedy_search":
             res = search.ctc_greedy_search(np.asarray(logp), lens_np)
         else:

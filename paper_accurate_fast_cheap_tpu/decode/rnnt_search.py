@@ -583,17 +583,51 @@ def _rnnt_beam_search_device(
     return finalize_device_beam(out)
 
 
-def finalize_device_beam(out) -> List[DecodeResult]:
+def pack_device_beam(out) -> jax.Array:
+    """Flatten a deferred beam carry into ONE int32 buffer.
+
+    A remote-attached chip pays a host round trip per fetched array;
+    `finalize_device_beam` on the raw carry fetches three (hyps,
+    hyp_len, scores).  Packing inside the caller's fused decode program
+    makes finalize a single fetch.  Recover with
+    ``finalize_device_beam(packed, beam=N)`` (the width ``N*L + 2N``
+    yields L).  Scores ride bitcast to int32 (exact)."""
+    hyps = out["hyps"]
+    B, N, L = hyps.shape
+    return jnp.concatenate([
+        hyps.reshape(B, N * L).astype(jnp.int32),
+        out["hyp_len"].astype(jnp.int32),
+        jax.lax.bitcast_convert_type(
+            out["scores"].astype(jnp.float32), jnp.int32),
+    ], axis=1)
+
+
+def finalize_device_beam(out, beam: int = 0) -> List[DecodeResult]:
     """Materialize a deferred device-beam carry into DecodeResults.
 
     Split from the search so callers can DISPATCH the next window
     batch's device work before fetching this one's outputs (the fetch
     blocks on the whole chain; overlapping it with the next batch's
     compute hides per-dispatch transport latency in long-form decode).
+
+    Accepts either the raw carry dict (three array fetches) or a
+    `pack_device_beam` buffer with ``beam=`` given (one fetch).
     """
-    hyps = np.asarray(out["hyps"])
-    hyp_len = np.asarray(out["hyp_len"])
-    scores = np.asarray(out["scores"])
+    if not isinstance(out, dict):
+        if beam <= 0:
+            raise ValueError("packed finalize needs beam=N")
+        arr = np.asarray(out)                      # the ONE fetch
+        B, W = arr.shape
+        N = beam
+        L = W // N - 2
+        hyps = arr[:, : N * L].reshape(B, N, L)
+        hyp_len = arr[:, N * L: N * L + N]
+        scores = np.ascontiguousarray(
+            arr[:, N * L + N:]).view(np.float32)
+    else:
+        hyps = np.asarray(out["hyps"])
+        hyp_len = np.asarray(out["hyp_len"])
+        scores = np.asarray(out["scores"])
     B, N = scores.shape
     results = []
     for b in range(B):

@@ -232,3 +232,37 @@ def test_top_k_vocab_no_duplicates(V, k):
         assert len(set(idx[b].tolist())) == k, idx[b]
         ref = np.sort(np.asarray(x)[b])[::-1][:k]
         np.testing.assert_allclose(np.sort(vals[b])[::-1], ref, rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_packed_finalize_matches_dict(seed):
+    """pack_device_beam -> finalize(packed, beam=N) reproduces the plain
+    3-array finalize exactly (tokens, nbest, bit-exact scores), including
+    under an outer jit (the fused product chain's usage)."""
+    setup = _Setup(seed)
+    ps, js, init = setup.jax_fns()
+
+    def deferred():
+        return rnnt_search.rnnt_beam_search(
+            ps, js, init, jnp.asarray(setup.enc), jnp.asarray(setup.lens),
+            jnp.asarray(setup.ctc), beam_size=4, blank_id=0,
+            ctc_weight=0.3, transducer_weight=0.7, impl="device",
+            defer=True)
+
+    out = deferred()
+    want = rnnt_search.finalize_device_beam(
+        {k: out[k] for k in ("hyps", "hyp_len", "scores")})
+    # same carry through the packed path: must be BIT-exact
+    packed = rnnt_search.pack_device_beam(out)
+    got = rnnt_search.finalize_device_beam(packed, beam=4)
+    for w, g in zip(want, got):
+        assert g.tokens == w.tokens
+        assert g.nbest == w.nbest
+        assert g.nbest_scores == w.nbest_scores   # bitcast round trip
+    # and the fused-product usage: pack inside an outer jit traces fine
+    # (float fusion may differ across compilation contexts; hypotheses
+    # on this well-separated setup must not)
+    packed2 = jax.jit(lambda: rnnt_search.pack_device_beam(deferred()))()
+    got2 = rnnt_search.finalize_device_beam(packed2, beam=4)
+    for w, g in zip(want, got2):
+        assert g.tokens == w.tokens
