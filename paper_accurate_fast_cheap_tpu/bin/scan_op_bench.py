@@ -161,6 +161,64 @@ def main(argv=None):
         return s, None
     comps["pred"] = (pred, jnp.zeros((BN, H), jnp.bfloat16))
 
+    # hypothesis-buffer maintenance: beam reorder gather + masked token
+    # write on the (B, N, L) token carry — the step's largest buffer
+    L = T
+
+    def hypbuf(c, _):
+        hyps, tick = c
+        n_src = ((sel0[: B * N].reshape(B, N)
+                  + tick) % N).astype(jnp.int32)
+        n_tok = (n_src + tick) % V
+        n_len = (tick % L) * jnp.ones((B, N), jnp.int32)
+        hyps_g = jnp.take_along_axis(hyps, n_src[:, :, None], axis=1)
+        wmask = jnp.arange(L)[None, None, :] == n_len[:, :, None]
+        new = jnp.where(wmask, n_tok[:, :, None], hyps_g)
+        return (new, tick + 1), None
+    comps["hypbuf"] = (hypbuf, (jnp.zeros((B, N, L), jnp.int32),
+                                jnp.int32(0)))
+
+    # scalar bookkeeping soup: candidate hash/len/src construction, the
+    # walk-window gathers, and the end-of-step carry selects on (B, N)
+    def bookkeep(c, _):
+        scores, h1, h2, hyp_len, last, tick = c
+        c_score = (scores[:, :, None]
+                   + jnp.arange(N, dtype=jnp.float32)[None, None, :]
+                   ).reshape(B, NK) - 0.01
+        c_src = jnp.broadcast_to(
+            jnp.arange(N, dtype=jnp.int32)[:, None], (N, N)).reshape(NK)
+        c_src = jnp.broadcast_to(c_src, (B, NK))
+        c_tok = ((c_src + tick) % V).astype(jnp.int32)
+        c_adv = c_tok != 0
+        tk = (c_tok + 1).astype(jnp.uint32)
+        src_h1 = jnp.take_along_axis(h1, c_src, axis=1)
+        src_h2 = jnp.take_along_axis(h2, c_src, axis=1)
+        src_len = jnp.take_along_axis(hyp_len, c_src, axis=1)
+        c_h1 = jnp.where(c_adv, src_h1 * jnp.uint32(2654435761) + tk,
+                         src_h1)
+        c_h2 = jnp.where(c_adv, src_h2 * jnp.uint32(2246822519)
+                         + tk * jnp.uint32(2654435761), src_h2)
+        c_len = src_len + c_adv.astype(jnp.int32)
+        top_scores, top_pos = jax.lax.top_k(c_score, N)
+        n_src = jnp.take_along_axis(c_src, top_pos, axis=1)
+        n_tok = jnp.take_along_axis(c_tok, top_pos, axis=1)
+        n_adv = jnp.take_along_axis(c_adv, top_pos, axis=1)
+        n_h1 = jnp.take_along_axis(c_h1, top_pos, axis=1)
+        n_h2 = jnp.take_along_axis(c_h2, top_pos, axis=1)
+        n_len = jnp.take_along_axis(c_len, top_pos, axis=1)
+        am = (jnp.arange(B) < B)[:, None]
+        return ((jnp.where(am, top_scores, scores),
+                 jnp.where(am, n_h1, h1), jnp.where(am, n_h2, h2),
+                 jnp.where(am, n_len, hyp_len),
+                 jnp.where(am, jnp.where(n_adv, n_tok, last), last),
+                 tick + 1), None)
+    comps["bookkeep"] = (bookkeep,
+                         (jnp.zeros((B, N), jnp.float32),
+                          jnp.zeros((B, N), jnp.uint32),
+                          jnp.zeros((B, N), jnp.uint32),
+                          jnp.zeros((B, N), jnp.int32),
+                          jnp.zeros((B, N), jnp.int32), jnp.int32(0)))
+
     names = (args.only.split(",") if args.only else list(comps))
     results = {}
     for name in names:

@@ -381,8 +381,8 @@ def _rnnt_beam_search_device(
                      else "xla")
     if topk_impl == "pallas":
         from paper_accurate_fast_cheap_tpu.ops.topk_pallas import (
-            top_k_vocab_pallas)
-        topk_fn = top_k_vocab_pallas
+            fused_top_k_vocab_pallas)
+        topk_fn = None  # the fused kernel scores + selects in one pass
     else:
         topk_fn = top_k_vocab
 
@@ -411,11 +411,16 @@ def _rnnt_beam_search_device(
 
         enc_rep = jnp.repeat(enc_t, N, axis=0)          # (B*N, De)
         logp = joint_step(prms, enc_rep, carry["pred_out"])  # (B*N, V)
-        fused = jnp.logaddexp(
-            log_tw + logp, log_cw + jnp.repeat(ctc_t, N, axis=0)
-        ).reshape(B, N, -1)
-
-        vals, toks = topk_fn(fused, N)                  # (B, N, N)
+        if topk_fn is None:
+            # pallas: CTC fusion + exact top-k in ONE kernel — the fused
+            # (B*N, V) array never touches HBM (ops/topk_pallas.py)
+            vals, toks = fused_top_k_vocab_pallas(
+                logp, ctc_t, N, log_tw, log_cw)         # (B, N, N)
+        else:
+            fused = jnp.logaddexp(
+                log_tw + logp, log_cw + jnp.repeat(ctc_t, N, axis=0)
+            ).reshape(B, N, -1)
+            vals, toks = topk_fn(fused, N)              # (B, N, N)
         c_score = (carry["scores"][:, :, None] + vals).reshape(B, NK)
         c_src = jnp.broadcast_to(
             jnp.arange(N, dtype=jnp.int32)[:, None], (N, N)

@@ -122,6 +122,148 @@ def _topk_rows(x: jax.Array, k: int, rows: int = 128):
     return vals[:, :k], idx[:, :k]
 
 
+def _fused_topk_kernel(logp_ref, ctc_ref, vals_ref, idx_ref, scr_ref, *,
+                       k: int, G: int, rows: int, n_rep: int, ltw: float,
+                       lcw: float):
+    """Like `_topk_kernel`, but the scored array is computed on the fly:
+
+        x = logaddexp(ltw + logp, lcw + ctc[row // n_rep])
+
+    i.e. the beam's CTC shallow fusion (`rnnt_search` step) — the fused
+    (R, V) array is never materialized in HBM and the (B, V) -> (B*N, V)
+    beam-repeat of the CTC row never happens at all.  Scored tiles are
+    written to a VMEM scratch in phase 1 and reread in phase 3 (no
+    recompute, no HBM round trip).
+    """
+    neg = jnp.float32(-jnp.inf)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+    wt = jnp.float32(ltw)
+    wc = jnp.float32(lcw)
+
+    def tile(g):
+        lp = logp_ref[:, g * _LANES:(g + 1) * _LANES].astype(jnp.float32)
+        ct = ctc_ref[:, g * _LANES:(g + 1) * _LANES].astype(jnp.float32)
+        if n_rep > 1:
+            ct = jnp.repeat(ct, n_rep, axis=0)
+        return jnp.logaddexp(wt + lp, wc + ct)
+
+    cm = jnp.full((rows, _LANES), neg, jnp.float32)
+    for g in range(G):
+        t = tile(g)
+        scr_ref[:, g * _LANES:(g + 1) * _LANES] = t
+        m = jnp.max(t, axis=1, keepdims=True)
+        cm = jnp.where(lane == g, m, cm)
+
+    big = jnp.int32(G + _LANES)
+    ids = []
+    for _ in range(k):
+        m = jnp.max(cm, axis=1, keepdims=True)
+        sel = jnp.min(jnp.where(cm == m, lane, big), axis=1,
+                      keepdims=True)
+        ids.append(sel)
+        cm = jnp.where(lane == sel, neg, cm)
+
+    gath = [jnp.full((rows, _LANES), neg, jnp.float32) for _ in range(k)]
+    for g in range(G):
+        t = scr_ref[:, g * _LANES:(g + 1) * _LANES]
+        for s in range(k):
+            gath[s] = jnp.where(ids[s] == g, t, gath[s])
+    gidx = [ids[s] * _LANES + lane for s in range(k)]
+
+    bigv = jnp.int32(G * _LANES + _LANES)
+    out_v = jnp.full((rows, _LANES), neg, jnp.float32)
+    out_i = jnp.zeros((rows, _LANES), jnp.int32)
+    for j in range(k):
+        m = gath[0]
+        for s in range(1, k):
+            m = jnp.maximum(m, gath[s])
+        m = jnp.max(m, axis=1, keepdims=True)
+        cand = jnp.where(gath[0] == m, gidx[0], bigv)
+        for s in range(1, k):
+            cand = jnp.minimum(
+                cand, jnp.where(gath[s] == m, gidx[s], bigv))
+        sel = jnp.min(cand, axis=1, keepdims=True)
+        out_v = jnp.where(lane == j, m, out_v)
+        out_i = jnp.where(lane == j, sel, out_i)
+        for s in range(k):
+            gath[s] = jnp.where(gidx[s] == sel, neg, gath[s])
+    vals_ref[:] = out_v
+    idx_ref[:] = out_i
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "n_rep", "ltw", "lcw", "rows"))
+def _fused_topk_rows(logp, ctc, k, n_rep, ltw, lcw, rows):
+    R, Vp = logp.shape
+    G = Vp // _LANES
+    crows = rows // n_rep
+    vals, idx = pl.pallas_call(
+        functools.partial(_fused_topk_kernel, k=k, G=G, rows=rows,
+                          n_rep=n_rep, ltw=ltw, lcw=lcw),
+        grid=(R // rows,),
+        in_specs=[pl.BlockSpec((rows, Vp), lambda i: (i, 0)),
+                  pl.BlockSpec((crows, Vp), lambda i: (i, 0))],
+        out_specs=[pl.BlockSpec((rows, _LANES), lambda i: (i, 0)),
+                   pl.BlockSpec((rows, _LANES), lambda i: (i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((R, _LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((R, _LANES), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((rows, Vp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=jax.default_backend() != "tpu",
+    )(logp, ctc)
+    return vals[:, :k], idx[:, :k]
+
+
+def _lcm(a: int, b: int) -> int:
+    import math
+    return a * b // math.gcd(a, b)
+
+
+def fused_top_k_vocab_pallas(logp: jax.Array, ctc: jax.Array, k: int,
+                             log_tw: float, log_cw: float,
+                             rows: int = 128):
+    """CTC-fused exact top-k: top_k_vocab(logaddexp(ltw+logp, lcw+ctc')).
+
+    ``logp`` is (B*N, V) (one row per beam), ``ctc`` is (B, V) (one row
+    per utterance, repeated across the beam inside the kernel).  Returns
+    ((B, N, k) vals, idx) like `top_k_vocab` on the reshaped fused
+    array.  Falls back to the unfused XLA ops outside the envelope or
+    with non-finite weights handled upstream.
+    """
+    R, V = logp.shape
+    B = ctc.shape[0]
+    n_rep = R // B
+    assert B * n_rep == R, (R, B)
+    # block rows must hold whole beams AND whole (8-sublane) tiles
+    base = _lcm(_ROWS, n_rep)
+    rows_eff = max(base, base * (min(rows, R) // base))
+    if not supported((R, V), k):
+        from paper_accurate_fast_cheap_tpu.decode.rnnt_search import (
+            top_k_vocab)
+        fused = jnp.logaddexp(
+            jnp.float32(log_tw) + logp.astype(jnp.float32),
+            jnp.float32(log_cw)
+            + jnp.repeat(ctc.astype(jnp.float32), n_rep, axis=0))
+        vals, idx = top_k_vocab(fused.reshape(B, n_rep, V), k)
+        return vals, idx
+    Vp = -(-V // _LANES) * _LANES
+    lp, ct = logp.astype(jnp.float32), ctc.astype(jnp.float32)
+    if Vp != V:
+        lp = jnp.pad(lp, ((0, 0), (0, Vp - V)), constant_values=-jnp.inf)
+        ct = jnp.pad(ct, ((0, 0), (0, Vp - V)), constant_values=-jnp.inf)
+    Rp = -(-R // rows_eff) * rows_eff
+    if Rp != R:
+        lp = jnp.pad(lp, ((0, Rp - R), (0, 0)), constant_values=-jnp.inf)
+        ct = jnp.pad(ct, ((0, (Rp - R) // n_rep), (0, 0)),
+                     constant_values=-jnp.inf)
+    vals, idx = _fused_topk_rows(lp, ct, k, n_rep, float(log_tw),
+                                 float(log_cw), rows_eff)
+    if Rp != R:
+        vals, idx = vals[:R], idx[:R]
+    return vals.reshape(B, n_rep, k), idx.reshape(B, n_rep, k)
+
+
 def supported(x_shape, k: int, chunk: int = _LANES) -> bool:
     """Same gate as `top_k_vocab`'s two-level path (plus k <= lanes)."""
     V = x_shape[-1]

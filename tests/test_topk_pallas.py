@@ -60,6 +60,27 @@ def test_fallback_outside_envelope():
     _check(x, 8)
 
 
+@pytest.mark.parametrize("B,N,V,tw,cw", [
+    (2, 8, 2000, 0.7, 0.3),
+    (3, 4, 1100, 1.0, 0.0),     # ctc_weight 0 -> log_cw = -inf
+])
+def test_fused_matches_unfused(B, N, V, tw, cw):
+    import math
+    from paper_accurate_fast_cheap_tpu.ops.topk_pallas import (
+        fused_top_k_vocab_pallas)
+    logp = jax.nn.log_softmax(
+        jax.random.normal(jax.random.PRNGKey(7), (B * N, V)))
+    ctc = jax.nn.log_softmax(
+        jax.random.normal(jax.random.PRNGKey(8), (B, V)))
+    ltw = math.log(tw) if tw > 0 else -math.inf
+    lcw = math.log(cw) if cw > 0 else -math.inf
+    fused = jnp.logaddexp(ltw + logp, lcw + jnp.repeat(ctc, N, axis=0))
+    v0, i0 = top_k_vocab(fused.reshape(B, N, V), N)
+    v1, i1 = fused_top_k_vocab_pallas(logp, ctc, N, ltw, lcw)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
 def test_device_beam_identical_across_topk_impls():
     """rnnt_beam_search hypotheses are identical with topk_impl pallas/xla.
 
