@@ -422,6 +422,10 @@ def _rnnt_beam_search_device(
             ).reshape(B, N, -1)
             vals, toks = topk_fn(fused, N)              # (B, N, N)
         c_score = (carry["scores"][:, :, None] + vals).reshape(B, NK)
+        # candidate j = (beam j//N, expansion j%N): the source index is a
+        # STATIC broadcast pattern, so "gathers" by it are broadcasts —
+        # no take_along_axis (the bookkeeping soup was 0.104 ms/frame of
+        # the step before this restructure; bin/scan_op_bench.py)
         c_src = jnp.broadcast_to(
             jnp.arange(N, dtype=jnp.int32)[:, None], (N, N)
         ).reshape(NK)
@@ -429,9 +433,13 @@ def _rnnt_beam_search_device(
         c_tok = toks.reshape(B, NK).astype(jnp.int32)
         c_adv = c_tok != blank_id
         tk = (c_tok + 1).astype(jnp.uint32)
-        src_h1 = jnp.take_along_axis(carry["h1"], c_src, axis=1)
-        src_h2 = jnp.take_along_axis(carry["h2"], c_src, axis=1)
-        src_len = jnp.take_along_axis(carry["hyp_len"], c_src, axis=1)
+
+        def rep_beam(a):
+            return jnp.broadcast_to(a[:, :, None], (B, N, N)).reshape(B, NK)
+
+        src_h1 = rep_beam(carry["h1"])
+        src_h2 = rep_beam(carry["h2"])
+        src_len = rep_beam(carry["hyp_len"])
         c_h1 = jnp.where(c_adv, src_h1 * P1 + tk, src_h1)
         c_h2 = jnp.where(c_adv, src_h2 * P2 + tk * P1, src_h2)
         c_len = src_len + c_adv.astype(jnp.int32)
@@ -471,12 +479,22 @@ def _rnnt_beam_search_device(
 
             top_scores, top_pos = jax.lax.top_k(final, N)   # (B, N)
             ok = top_scores > NEG
-            n_src = jnp.take_along_axis(c_src, top_pos, axis=1)
-            n_tok = jnp.take_along_axis(c_tok, top_pos, axis=1)
-            n_adv = jnp.take_along_axis(c_adv, top_pos, axis=1) & ok
-            n_h1 = jnp.take_along_axis(c_h1, top_pos, axis=1)
-            n_h2 = jnp.take_along_axis(c_h2, top_pos, axis=1)
-            n_len = jnp.take_along_axis(c_len, top_pos, axis=1)
+            # n_src/n_adv are derivable from top_pos/n_tok (c_src is the
+            # static j//N pattern); the three data gathers ride ONE
+            # packed take_along_axis instead of five
+            n_src = top_pos // N
+            packed = jnp.stack([
+                c_tok,
+                jax.lax.bitcast_convert_type(c_h1, jnp.int32),
+                jax.lax.bitcast_convert_type(c_h2, jnp.int32),
+                c_len,
+            ], axis=-1)                                  # (B, NK, 4)
+            sel4 = jnp.take_along_axis(packed, top_pos[:, :, None], axis=1)
+            n_tok = sel4[..., 0]
+            n_h1 = jax.lax.bitcast_convert_type(sel4[..., 1], jnp.uint32)
+            n_h2 = jax.lax.bitcast_convert_type(sel4[..., 2], jnp.uint32)
+            n_len = sel4[..., 3]
+            n_adv = (n_tok != blank_id) & ok
         else:
             # walk candidates in descending score order
             order = jnp.argsort(-c_score, axis=-1, stable=True)
