@@ -45,8 +45,27 @@ def make_transducer_step_fns(model, params):
         return hit[0]
     predictor_step = jax.jit(lambda p, tok, st: model.apply(
         p, tok, st, method=model.predictor_step))
-    joint_step = jax.jit(lambda p, e, pr: model.apply(
+    _joint_jit = jax.jit(lambda p, e, pr: model.apply(
         p, e, pr, method=model.joint_step))
+
+    def joint_step(p, e, pr):
+        return _joint_jit(p, e, pr)
+
+    # Standard (non-HAT) joint: expose the split form the device beam's
+    # joint-fused pallas path needs — a batched enc projection (hoisted
+    # out of the frame scan) + the pre-vocab-head activation; the vocab
+    # head itself runs inside the top-k kernel (ops/topk_pallas.py).
+    # Attributes on the plain-function wrapper keep the public 3-tuple
+    # signature unchanged for every existing caller.
+    try:
+        has_ffn_out = "ffn_out" in params["params"]["joint"]
+    except (KeyError, TypeError):
+        has_ffn_out = False
+    if has_ffn_out and hasattr(model, "joint_preact"):
+        joint_step.preact = jax.jit(lambda p, ep, pr: model.apply(
+            p, ep, pr, method=model.joint_preact))
+        joint_step.enc_proj = jax.jit(lambda p, e: model.apply(
+            p, e, method=model.joint_enc_proj))
     init_state_fn = functools.partial(model.apply, params,
                                       method=model.predictor_init_state)
     fns = (predictor_step, joint_step, init_state_fn)
@@ -376,10 +395,24 @@ def _rnnt_beam_search_device(
     orig_steps = (predictor_step, joint_step)
     predictor_step, joint_step = _bind_steps(predictor_step, joint_step,
                                              params)
+    # joint-fused requires the split joint fns (make_transducer_step_fns
+    # attributes, non-HAT joint) and params riding as program inputs
+    preact_fn = getattr(orig_steps[1], "preact", None)
+    can_jf = preact_fn is not None and params is not None
     if topk_impl == "auto":
-        topk_impl = ("pallas" if jax.default_backend() == "tpu"
-                     else "xla")
-    if topk_impl == "pallas":
+        topk_impl = ("pallas_joint" if can_jf else "pallas"
+                     ) if jax.default_backend() == "tpu" else "xla"
+    if topk_impl == "pallas_joint" and not can_jf:
+        topk_impl = "pallas"
+    if topk_impl == "pallas_joint":
+        from paper_accurate_fast_cheap_tpu.ops.topk_pallas import (
+            joint_top_k_vocab_pallas)
+        topk_fn = None
+        fused_top_k_vocab_pallas = None
+        # hoist the joint's enc projection out of the frame scan: ONE
+        # batched (B, T, De) @ (De, J) MXU matmul instead of T small ones
+        enc_out = orig_steps[1].enc_proj(params, enc_out)
+    elif topk_impl == "pallas":
         from paper_accurate_fast_cheap_tpu.ops.topk_pallas import (
             fused_top_k_vocab_pallas)
         topk_fn = None  # the fused kernel scores + selects in one pass
@@ -409,14 +442,24 @@ def _rnnt_beam_search_device(
         enc_t, ctc_t, t = xs          # (B, De), (B, V), scalar
         active = t < lens_dev          # (B,)
 
-        enc_rep = jnp.repeat(enc_t, N, axis=0)          # (B*N, De)
-        logp = joint_step(prms, enc_rep, carry["pred_out"])  # (B*N, V)
-        if topk_fn is None:
+        enc_rep = jnp.repeat(enc_t, N, axis=0)          # (B*N, De|J)
+        if topk_impl == "pallas_joint":
+            # joint head + log-softmax + CTC fusion + top-k in ONE
+            # kernel — neither the (B*N, V) logits nor the fused score
+            # array ever exists in HBM (ops/topk_pallas.py)
+            x_act = preact_fn(prms, enc_rep, carry["pred_out"])
+            ffo = prms["params"]["joint"]["ffn_out"]
+            vals, toks = joint_top_k_vocab_pallas(
+                x_act, ffo["kernel"], ffo["bias"], ctc_t, N,
+                log_tw, log_cw)                         # (B, N, N)
+        elif topk_fn is None:
+            logp = joint_step(prms, enc_rep, carry["pred_out"])
             # pallas: CTC fusion + exact top-k in ONE kernel — the fused
             # (B*N, V) array never touches HBM (ops/topk_pallas.py)
             vals, toks = fused_top_k_vocab_pallas(
                 logp, ctc_t, N, log_tw, log_cw)         # (B, N, N)
         else:
+            logp = joint_step(prms, enc_rep, carry["pred_out"])
             fused = jnp.logaddexp(
                 log_tw + logp, log_cw + jnp.repeat(ctc_t, N, axis=0)
             ).reshape(B, N, -1)

@@ -77,6 +77,19 @@ class TransducerJoint(nn.Module):
         return self.joint_projected(self.project_enc(enc_t),
                                     self.project_pred(pred_u))
 
+    def preact(self, enc_p, pred_u):
+        """Everything up to (excluding) the vocab head: the activation fed
+        to ffn_out.  ``enc_p`` is ALREADY enc-projected (callers hoist
+        `project_enc` out of per-frame loops — one batched MXU matmul over
+        all frames instead of T small ones).  Only meaningful for the
+        non-HAT joint, whose head is a single Dense the device beam fuses
+        into its pallas top-k kernel (`ops/topk_pallas.joint_top_k_vocab_
+        pallas`)."""
+        x = enc_p + self.project_pred(pred_u)
+        if self.postjoin_linear:
+            x = self.post_ffn(x)
+        return self._act(x)
+
 
 def make_pure_joint_fn(jparams, activation: str = "tanh",
                        postjoin_linear: bool = False,

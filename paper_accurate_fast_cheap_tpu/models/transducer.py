@@ -211,6 +211,19 @@ class Transducer(nn.Module):
         logits = self.joint.single_step(enc_t, pred_out)
         return jax.nn.log_softmax(logits, axis=-1)
 
+    def joint_enc_proj(self, enc):
+        """Batched joint-side encoder projection (any leading shape)."""
+        return self.joint.project_enc(enc)
+
+    def joint_preact(self, enc_p_t, pred_out):
+        """Pre-vocab-head joint activation from a PROJECTED enc frame.
+
+        Pairs with `joint_enc_proj`: the device beam hoists the enc
+        projection out of its frame scan and fuses the vocab head +
+        log-softmax into its pallas top-k kernel, so `joint_step`'s
+        (N, V) log-probs are never materialized."""
+        return self.joint.preact(enc_p_t, pred_out)
+
     def decoder_forward(self, enc, enc_lens, ys_in, ys_lens, r_ys_in,
                         reverse_weight: float):
         return self.decoder(enc, enc_lens, ys_in, ys_lens, r_ys_in,

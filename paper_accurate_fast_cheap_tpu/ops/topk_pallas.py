@@ -47,17 +47,15 @@ _LANES = 128
 _ROWS = 8
 
 
-def _topk_kernel(x_ref, vals_ref, idx_ref, *, k: int, G: int, rows: int):
-    """One (rows, G*128) row block -> top-k vals/idx in the first k lanes."""
-    neg = jnp.float32(-jnp.inf)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+def _select_phases(tile_fn, cm, vals_ref, idx_ref, *, k: int, G: int,
+                   rows: int, lane):
+    """Phases 2-4 of the exact two-level top-k, shared by every kernel.
 
-    # phase 1: chunk maxima, laid out one chunk per lane (G <= 128)
-    cm = jnp.full((rows, _LANES), neg, jnp.float32)
-    for g in range(G):
-        t = x_ref[:, g * _LANES:(g + 1) * _LANES].astype(jnp.float32)
-        m = jnp.max(t, axis=1, keepdims=True)               # (rows, 1)
-        cm = jnp.where(lane == g, m, cm)
+    ``tile_fn(g)`` returns the (rows, 128) f32 scored tile for chunk g
+    (from the input ref or a VMEM scratch); ``cm`` is the (rows, 128)
+    chunk-maxima layout built by the caller's phase 1.
+    """
+    neg = jnp.float32(-jnp.inf)
 
     # phase 2: top-k chunk ids per row; ties -> lowest chunk id
     big = jnp.int32(G + _LANES)
@@ -73,7 +71,7 @@ def _topk_kernel(x_ref, vals_ref, idx_ref, *, k: int, G: int, rows: int):
     # the VMEM tiles; exactly one g matches each (row, slot))
     gath = [jnp.full((rows, _LANES), neg, jnp.float32) for _ in range(k)]
     for g in range(G):
-        t = x_ref[:, g * _LANES:(g + 1) * _LANES].astype(jnp.float32)
+        t = tile_fn(g)
         for s in range(k):
             gath[s] = jnp.where(ids[s] == g, t, gath[s])
     gidx = [ids[s] * _LANES + lane for s in range(k)]       # global vocab ids
@@ -100,6 +98,24 @@ def _topk_kernel(x_ref, vals_ref, idx_ref, *, k: int, G: int, rows: int):
             gath[s] = jnp.where(gidx[s] == sel, neg, gath[s])
     vals_ref[:] = out_v
     idx_ref[:] = out_i
+
+
+def _topk_kernel(x_ref, vals_ref, idx_ref, *, k: int, G: int, rows: int):
+    """One (rows, G*128) row block -> top-k vals/idx in the first k lanes."""
+    neg = jnp.float32(-jnp.inf)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+
+    def tile(g):
+        return x_ref[:, g * _LANES:(g + 1) * _LANES].astype(jnp.float32)
+
+    # phase 1: chunk maxima, laid out one chunk per lane (G <= 128)
+    cm = jnp.full((rows, _LANES), neg, jnp.float32)
+    for g in range(G):
+        m = jnp.max(tile(g), axis=1, keepdims=True)         # (rows, 1)
+        cm = jnp.where(lane == g, m, cm)
+
+    _select_phases(tile, cm, vals_ref, idx_ref, k=k, G=G, rows=rows,
+                   lane=lane)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "rows"))
@@ -154,41 +170,11 @@ def _fused_topk_kernel(logp_ref, ctc_ref, vals_ref, idx_ref, scr_ref, *,
         m = jnp.max(t, axis=1, keepdims=True)
         cm = jnp.where(lane == g, m, cm)
 
-    big = jnp.int32(G + _LANES)
-    ids = []
-    for _ in range(k):
-        m = jnp.max(cm, axis=1, keepdims=True)
-        sel = jnp.min(jnp.where(cm == m, lane, big), axis=1,
-                      keepdims=True)
-        ids.append(sel)
-        cm = jnp.where(lane == sel, neg, cm)
+    def scr_tile(g):
+        return scr_ref[:, g * _LANES:(g + 1) * _LANES]
 
-    gath = [jnp.full((rows, _LANES), neg, jnp.float32) for _ in range(k)]
-    for g in range(G):
-        t = scr_ref[:, g * _LANES:(g + 1) * _LANES]
-        for s in range(k):
-            gath[s] = jnp.where(ids[s] == g, t, gath[s])
-    gidx = [ids[s] * _LANES + lane for s in range(k)]
-
-    bigv = jnp.int32(G * _LANES + _LANES)
-    out_v = jnp.full((rows, _LANES), neg, jnp.float32)
-    out_i = jnp.zeros((rows, _LANES), jnp.int32)
-    for j in range(k):
-        m = gath[0]
-        for s in range(1, k):
-            m = jnp.maximum(m, gath[s])
-        m = jnp.max(m, axis=1, keepdims=True)
-        cand = jnp.where(gath[0] == m, gidx[0], bigv)
-        for s in range(1, k):
-            cand = jnp.minimum(
-                cand, jnp.where(gath[s] == m, gidx[s], bigv))
-        sel = jnp.min(cand, axis=1, keepdims=True)
-        out_v = jnp.where(lane == j, m, out_v)
-        out_i = jnp.where(lane == j, sel, out_i)
-        for s in range(k):
-            gath[s] = jnp.where(gidx[s] == sel, neg, gath[s])
-    vals_ref[:] = out_v
-    idx_ref[:] = out_i
+    _select_phases(scr_tile, cm, vals_ref, idx_ref, k=k, G=G, rows=rows,
+                   lane=lane)
 
 
 @functools.partial(jax.jit,
@@ -218,6 +204,152 @@ def _fused_topk_rows(logp, ctc, k, n_rep, ltw, lcw, rows):
 def _lcm(a: int, b: int) -> int:
     import math
     return a * b // math.gcd(a, b)
+
+
+def _joint_topk_kernel(x_ref, w_ref, b_ref, ctc_ref, vals_ref, idx_ref,
+                       scr_ref, *, k: int, G: int, rows: int, n_rep: int,
+                       ltw: float, lcw: float):
+    """Joint output head + log-softmax + CTC fusion + exact top-k, fused.
+
+    Extends `_fused_topk_kernel` one stage further up the beam step: the
+    transducer logits themselves are computed IN-KERNEL on the MXU —
+
+        logits = x @ W + b                       (tile-by-tile, f32 acc)
+        logp   = logits - logsumexp(logits)      (streaming m/s pass)
+        score  = logaddexp(ltw + logp, lcw + ctc[row // n_rep])
+
+    — so neither the (R, V) logits nor the (R, V) fused score array ever
+    exists in HBM (the XLA path writes + rereads both between the joint
+    dispatch and the top-k).  logit tiles land in a VMEM scratch during
+    the matmul sweep and are rescored in place in phase 1.
+
+    Numerics: f32 accumulation off bf16/f32 inputs and a streaming
+    logsumexp — same rounding class as the bf16 fused-chain divergence
+    documented in NOTES.md (the selection algorithm and tie rules are
+    unchanged and exact).
+    """
+    neg = jnp.float32(-jnp.inf)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+    wt = jnp.float32(ltw)
+    wc = jnp.float32(lcw)
+    x = x_ref[:]                                            # (rows, D)
+
+    # matmul sweep: logits tiles -> scratch; streaming logsumexp (m, s)
+    m = jnp.full((rows, 1), neg, jnp.float32)
+    s = jnp.zeros((rows, 1), jnp.float32)
+    for g in range(G):
+        wg = w_ref[:, g * _LANES:(g + 1) * _LANES]          # (D, 128)
+        lg = jax.lax.dot_general(
+            x, wg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        lg = lg + b_ref[:, g * _LANES:(g + 1) * _LANES].astype(jnp.float32)
+        scr_ref[:, g * _LANES:(g + 1) * _LANES] = lg
+        tm = jnp.max(lg, axis=1, keepdims=True)
+        mn = jnp.maximum(m, tm)
+        # mn is finite from tile 0 on (every tile has real lanes: the V
+        # padding is < one tile wide), so exp(m - mn) is well-defined
+        s = s * jnp.exp(m - mn) + jnp.sum(jnp.exp(lg - mn), axis=1,
+                                          keepdims=True)
+        m = mn
+    lse = m + jnp.log(s)
+
+    # phase 1: rescore tiles in place + chunk maxima
+    cm = jnp.full((rows, _LANES), neg, jnp.float32)
+    for g in range(G):
+        lg = scr_ref[:, g * _LANES:(g + 1) * _LANES]
+        ct = ctc_ref[:, g * _LANES:(g + 1) * _LANES].astype(jnp.float32)
+        if n_rep > 1:
+            ct = jnp.repeat(ct, n_rep, axis=0)
+        t = jnp.logaddexp(wt + lg - lse, wc + ct)
+        scr_ref[:, g * _LANES:(g + 1) * _LANES] = t
+        cm = jnp.where(lane == g, jnp.max(t, axis=1, keepdims=True), cm)
+
+    def scr_tile(g):
+        return scr_ref[:, g * _LANES:(g + 1) * _LANES]
+
+    _select_phases(scr_tile, cm, vals_ref, idx_ref, k=k, G=G, rows=rows,
+                   lane=lane)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "n_rep", "ltw", "lcw", "rows"))
+def _joint_topk_rows(x, w, b, ctc, k, n_rep, ltw, lcw, rows):
+    R, D = x.shape
+    Vp = w.shape[1]
+    G = Vp // _LANES
+    crows = rows // n_rep
+    vals, idx = pl.pallas_call(
+        functools.partial(_joint_topk_kernel, k=k, G=G, rows=rows,
+                          n_rep=n_rep, ltw=ltw, lcw=lcw),
+        grid=(R // rows,),
+        in_specs=[pl.BlockSpec((rows, D), lambda i: (i, 0)),
+                  pl.BlockSpec((D, Vp), lambda i: (0, 0)),
+                  pl.BlockSpec((1, Vp), lambda i: (0, 0)),
+                  pl.BlockSpec((crows, Vp), lambda i: (i, 0))],
+        out_specs=[pl.BlockSpec((rows, _LANES), lambda i: (i, 0)),
+                   pl.BlockSpec((rows, _LANES), lambda i: (i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((R, _LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((R, _LANES), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((rows, Vp), jnp.float32)],
+        # the per-block working set (full W + the logits scratch +
+        # pipelining buffers) exceeds Mosaic's default 16 MB scoped-vmem
+        # budget at rows=256; the v5e has 128 MB of VMEM
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )(x, w, b, ctc)
+    return vals[:, :k], idx[:, :k]
+
+
+def joint_top_k_vocab_pallas(x: jax.Array, w: jax.Array, b: jax.Array,
+                             ctc: jax.Array, k: int, log_tw: float,
+                             log_cw: float, rows: int = 256):
+    """Fused joint head + CTC shallow fusion + exact top-k (one dispatch).
+
+    ``x`` is the pre-ffn_out joint activation (B*N, D) — tanh(enc_p +
+    pred_p) in the standard transducer joint (`models/joint.py
+    joint_projected`, the non-HAT branch); ``w``/``b`` are ffn_out's
+    (D, V) kernel and (V,) bias; ``ctc`` is (B, V) log-probs.  Returns
+    ((B, N, k) vals, idx) with `top_k_vocab` selection semantics over
+
+        logaddexp(log_tw + log_softmax(x @ w + b), log_cw + ctc_rep).
+
+    Falls back to the unfused XLA ops outside the kernel envelope.
+    """
+    R, D = x.shape
+    V = w.shape[1]
+    B = ctc.shape[0]
+    n_rep = R // B
+    assert B * n_rep == R, (R, B)
+    base = _lcm(_ROWS, n_rep)
+    rows_eff = max(base, base * (min(rows, R) // base))
+    if not supported((R, V), k) or D % _LANES or R % rows_eff:
+        from paper_accurate_fast_cheap_tpu.decode.rnnt_search import (
+            top_k_vocab)
+        logits = (x.astype(jnp.float32) @ w.astype(jnp.float32)
+                  + b.astype(jnp.float32))
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        fused = jnp.logaddexp(
+            jnp.float32(log_tw) + logp,
+            jnp.float32(log_cw)
+            + jnp.repeat(ctc.astype(jnp.float32), n_rep, axis=0))
+        vals, idx = top_k_vocab(fused.reshape(B, n_rep, V), k)
+        return vals, idx
+    Vp = -(-V // _LANES) * _LANES
+    wp, bp, ct = w, b.reshape(1, V), ctc
+    if Vp != V:
+        # pad columns: w 0 / b -inf -> pad logits are -inf (drop out of
+        # both the logsumexp and the top-k); ctc -inf keeps the fused
+        # score -inf there
+        wp = jnp.pad(wp, ((0, 0), (0, Vp - V)))
+        bp = jnp.pad(bp.astype(jnp.float32), ((0, 0), (0, Vp - V)),
+                     constant_values=-jnp.inf)
+        ct = jnp.pad(ct.astype(jnp.float32), ((0, 0), (0, Vp - V)),
+                     constant_values=-jnp.inf)
+    vals, idx = _joint_topk_rows(x, wp, bp, ct, k, n_rep, float(log_tw),
+                                 float(log_cw), rows_eff)
+    return vals.reshape(B, n_rep, k), idx.reshape(B, n_rep, k)
 
 
 def fused_top_k_vocab_pallas(logp: jax.Array, ctc: jax.Array, k: int,
