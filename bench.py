@@ -21,11 +21,50 @@ Prints exactly one JSON line.
 import argparse
 import functools
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_PROBE_SRC = (
+    "import jax, numpy as np;"
+    "x = jax.numpy.ones((256, 256));"
+    "print(float(np.asarray(x @ x)[0, 0]))"
+)
+
+
+def _wait_for_tpu(budget_s: float) -> bool:
+    """Probe the TPU worker with a tiny matmul until it answers.
+
+    The remote worker crashes occasionally and recovers on its own after
+    minutes-to-hours (NOTES.md crash log); round 3's driver bench hit a
+    dead worker and recorded rc=1 instead of a number.  Probes run in a
+    SUBPROCESS so a hung fetch can be abandoned without killing this
+    process's runtime state.  Returns True when a probe succeeds.
+    """
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                timeout=min(600, max(60, deadline - time.time())),
+                capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print(f"# bench: TPU probe {attempt} failed; waiting for worker "
+              f"recovery ({int(deadline - time.time())}s left)",
+              file=sys.stderr)
+        time.sleep(min(120.0, max(0.0, deadline - time.time())))
 
 
 def main():
@@ -146,5 +185,51 @@ def main():
     }))
 
 
+def _outer():
+    """Probe/retry supervisor: runs the measurement in a subprocess.
+
+    The driver's contract is ONE JSON line on stdout; a transient worker
+    crash (it recovers on its own) must not turn into rc=1.  Each attempt
+    runs `BENCH_INNER=1 python bench.py ...`; on failure we wait for the
+    worker to answer a probe again and retry.  All non-JSON inner output
+    is forwarded to stderr.
+    """
+    budget = float(os.environ.get("BENCH_PROBE_BUDGET_S", "2400"))
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    env = dict(os.environ, BENCH_INNER="1")
+    for i in range(attempts):
+        _wait_for_tpu(budget)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+                env=env, capture_output=True, text=True,
+                # generous: fused-chain compiles through the relay have
+                # taken up to 23 min (NOTES.md); killing a client
+                # mid-compile is itself a worker-crash trigger, so only
+                # abandon a truly wedged run
+                timeout=4800 if i == 0 else 3000)
+        except subprocess.TimeoutExpired as e:
+            print(f"# bench: attempt {i + 1} timed out", file=sys.stderr)
+            if e.stderr:
+                sys.stderr.write(e.stderr if isinstance(e.stderr, str)
+                                 else e.stderr.decode(errors="replace"))
+            continue
+        json_line = None
+        for line in (r.stdout or "").splitlines():
+            if line.startswith("{") and '"metric"' in line:
+                json_line = line
+        if r.stderr:
+            sys.stderr.write(r.stderr)
+        if r.returncode == 0 and json_line:
+            print(json_line)
+            return
+        print(f"# bench: attempt {i + 1} failed (rc={r.returncode}); "
+              "will re-probe the worker", file=sys.stderr)
+    sys.exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_INNER"):
+        main()
+    else:
+        _outer()

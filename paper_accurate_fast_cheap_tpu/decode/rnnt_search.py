@@ -373,9 +373,16 @@ def _rnnt_beam_search_device(
     negligible), so the duplicate-merge needs only an (N^2 x N^2) scalar
     equality matrix per utterance instead of token-array compares.
 
-    ``topk_impl``: 'auto' uses the Pallas vocab top-k kernel on TPU
-    (`ops/topk_pallas.py`, bit-exact drop-in, 3.3x the XLA rounds) and
-    the XLA path elsewhere; 'pallas'/'xla' force a choice.
+    ``topk_impl``: on TPU 'auto' prefers 'pallas_joint' (joint head +
+    log-softmax + CTC fusion + top-k in ONE Pallas dispatch,
+    `ops/topk_pallas.joint_top_k_vocab_pallas`) when the split joint fns
+    are available, else 'pallas' ;  elsewhere 'xla'.  Numerics:
+    'pallas' and 'xla' are bit-exact drop-ins for each other;
+    'pallas_joint' computes the logits in-kernel (f32 MXU accumulation +
+    streaming logsumexp) so its scores can differ from the XLA path by
+    float rounding — selection/tie semantics are unchanged, and
+    hypotheses matched exactly in every on-chip A/B (NOTES.md).  Force
+    'pallas' for bit-exactness vs 'xla'.
     """
     enc_out = jnp.asarray(enc_out)
     ctc_probs = jnp.asarray(ctc_probs)

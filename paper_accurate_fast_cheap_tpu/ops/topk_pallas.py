@@ -323,8 +323,15 @@ def joint_top_k_vocab_pallas(x: jax.Array, w: jax.Array, b: jax.Array,
     n_rep = R // B
     assert B * n_rep == R, (R, B)
     base = _lcm(_ROWS, n_rep)
+    # largest multiple of base that divides R (<= rows): batch sizes whose
+    # R isn't a multiple of the preferred block (e.g. B=48 beam 8 ->
+    # R=384 vs 256) shrink the block instead of silently falling back to
+    # the fully unfused XLA path
     rows_eff = max(base, base * (min(rows, R) // base))
-    if not supported((R, V), k) or D % _LANES or R % rows_eff:
+    while rows_eff > base and R % rows_eff:
+        rows_eff -= base
+    if (not supported((R, V), k) or D % _LANES or R % rows_eff
+            or x.dtype != w.dtype):  # in-kernel dot needs one dtype
         from paper_accurate_fast_cheap_tpu.decode.rnnt_search import (
             top_k_vocab)
         logits = (x.astype(jnp.float32) @ w.astype(jnp.float32)
@@ -397,10 +404,16 @@ def fused_top_k_vocab_pallas(logp: jax.Array, ctc: jax.Array, k: int,
 
 
 def supported(x_shape, k: int, chunk: int = _LANES) -> bool:
-    """Same gate as `top_k_vocab`'s two-level path (plus k <= lanes)."""
+    """Same gate as `top_k_vocab`'s two-level path (plus k <= lanes).
+
+    G <= _LANES is load-bearing: every kernel stores the per-chunk maxima
+    one-per-lane via `lane == g`, so a vocab wider than 128 chunks
+    (V > 16384) would silently drop chunks >= 128 — route those to the
+    exact XLA `top_k_vocab` instead.
+    """
     V = x_shape[-1]
     G = (V + chunk - 1) // chunk
-    return V > 8 * chunk and k < G and 0 < k <= _LANES
+    return V > 8 * chunk and k < G and 0 < k <= _LANES and G <= _LANES
 
 
 def top_k_vocab_pallas(x: jax.Array, k: int, rows: int = 128):
