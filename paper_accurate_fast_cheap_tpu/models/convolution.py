@@ -8,6 +8,7 @@ receptive field (`:89-144`).
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -102,23 +103,68 @@ class ConvolutionModule(nn.Module):
         return y
 
 
+class _DenseParams(nn.Module):
+    """Param holder with `nn.Dense`'s exact tree layout/init.
+
+    Lets `PositionwiseFeedForward` hand raw (kernel, bias) arrays to the
+    fused Pallas FFN kernel while existing checkpoints / converted
+    reference weights (Dense_0/Dense_1 scopes) keep loading unchanged.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,))
+        return k, b
+
+
 class PositionwiseFeedForward(nn.Module):
     """FFN: Dense -> activation -> dropout -> Dense
-    (`wenet/transformer/positionwise_feed_forward.py:20-56`)."""
+    (`wenet/transformer/positionwise_feed_forward.py:20-56`).
+
+    ``impl``: 'xla' (default) or 'pallas' (the fused kernel in
+    `ops/ffn_pallas.py`).  MEASURED 2026-08-20 on the v5e (18000x512
+    rows, H=2048, bf16, serial-carry loop): XLA 1.18 ms/call vs pallas
+    1.35-2.37 across row blocks — XLA already keeps the (R, H) hidden
+    activation in the v5e's 128 MB VMEM, so the kernel's
+    traffic-elimination premise does not pay on this part; encoder-level
+    A/B agreed (7607x -> 7409x at b8/c9000).  The kernel stays as a
+    tested fallback for narrow-VMEM parts ('auto' resolves to the
+    PAFC_FFN_IMPL env var, else 'xla').  Both paths share the same
+    parameters; numerics differ only by f32-vs-bf16 rounding of the
+    bias/activation stage (exact in f32).
+    """
 
     d_model: int
     hidden: int
     dropout_rate: float = 0.1
     activation: str = "swish"
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        from paper_accurate_fast_cheap_tpu.ops import ffn_pallas
+
         act = {"swish": nn.silu, "relu": nn.relu, "gelu": nn.gelu,
                "hardtanh": lambda v: jnp.clip(v, -1.0, 1.0)}[self.activation]
-        y = nn.Dense(self.hidden)(x)
-        y = act(y)
+        k1, b1 = _DenseParams(self.hidden, name="Dense_0")(x.shape[-1])
+        k2, b2 = _DenseParams(self.d_model, name="Dense_1")(self.hidden)
+        drop_active = (not deterministic) and self.dropout_rate > 0.0
+        impl = self.impl
+        if impl == "auto":  # bench A/B escape hatch, no config plumbing
+            impl = os.environ.get("PAFC_FFN_IMPL", "xla")
+        use_pallas = impl == "pallas" and not drop_active and (
+            ffn_pallas.supported(x.shape, x.shape[-1], self.hidden,
+                                 x.dtype))
+        if use_pallas:
+            return ffn_pallas.fused_ffn(x, k1, b1, k2, b2, self.activation)
+        y = act(jnp.dot(x, k1) + b1)
         y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
-        return nn.Dense(self.d_model)(y)
+        return jnp.dot(y, k2) + b2
 
 
 class MoEFFNLayer(nn.Module):

@@ -20,6 +20,7 @@ CUDA streams; bf16 casting becomes a dtype policy instead of module surgery.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -164,15 +165,48 @@ class RWKVTimeMix(nn.Module):
             # B x T >= 20000; fall back to the chunked-XLA formulation
             # beyond it.
             impl = self.wkv_impl
+            sliced = False
             if impl == "pallas" and (T > 8192 or B * T > 18432):
-                impl = "chunked"
-            wkv_out = wkv6_ops.wkv6(
-                r.reshape(shp), k.reshape(shp), v.reshape(shp),
-                w.reshape(shp), u.astype(dt), state=wkv_state,
-                chunk_size=self.wkv_chunk_size, impl=impl,
-                pallas_version=self.wkv_version,
-                return_state=return_state,
-            )
+                # opt-in experiment (PAFC_WKV_SLICED=1): stay on the
+                # kernel by splitting the batch into sub-calls that each
+                # sit inside the proven envelope (bench.py's 8 x 2250
+                # point has run dozens of times) instead of falling back
+                # to chunked XLA.  Default OFF until the sliced program
+                # has a stability record on the real chip.
+                sliced = (T <= 8192
+                          and os.environ.get("PAFC_WKV_SLICED") == "1")
+                if not sliced:
+                    impl = "chunked"
+            if sliced:
+                nb = max(1, 18432 // T)
+                outs, states = [], []
+                for s0 in range(0, B, nb):
+                    s1 = min(B, s0 + nb)
+                    sl = lambda a: None if a is None else a[s0:s1]
+                    o = wkv6_ops.wkv6(
+                        r.reshape(shp)[s0:s1], k.reshape(shp)[s0:s1],
+                        v.reshape(shp)[s0:s1], w.reshape(shp)[s0:s1],
+                        u.astype(dt), state=sl(wkv_state),
+                        chunk_size=self.wkv_chunk_size, impl="pallas",
+                        pallas_version=self.wkv_version,
+                        return_state=return_state,
+                    )
+                    if return_state:
+                        outs.append(o[0])
+                        states.append(o[1])
+                    else:
+                        outs.append(o)
+                wkv_out = jnp.concatenate(outs, axis=0)
+                if return_state:
+                    wkv_out = (wkv_out, jnp.concatenate(states, axis=0))
+            else:
+                wkv_out = wkv6_ops.wkv6(
+                    r.reshape(shp), k.reshape(shp), v.reshape(shp),
+                    w.reshape(shp), u.astype(dt), state=wkv_state,
+                    chunk_size=self.wkv_chunk_size, impl=impl,
+                    pallas_version=self.wkv_version,
+                    return_state=return_state,
+                )
         if return_state:
             y, new_wkv = wkv_out
         else:
