@@ -419,6 +419,16 @@ def _rnnt_beam_search_device(
         # hoist the joint's enc projection out of the frame scan: ONE
         # batched (B, T, De) @ (De, J) MXU matmul instead of T small ones
         enc_out = orig_steps[1].enc_proj(params, enc_out)
+        # pre-pad the CTC posteriors to the kernel's lane multiple ONCE
+        # (-inf pad columns are inert) — otherwise the kernel wrapper
+        # pays a (B, V) pad copy every frame inside the scan
+        _V = ctc_probs.shape[-1]
+        _Vp = -(-_V // 128) * 128
+        if _Vp != _V:
+            # keep the input dtype (bf16 halves the per-frame read)
+            ctc_probs = jnp.pad(
+                ctc_probs, ((0, 0), (0, 0), (0, _Vp - _V)),
+                constant_values=-jnp.inf)
     elif topk_impl == "pallas":
         from paper_accurate_fast_cheap_tpu.ops.topk_pallas import (
             fused_top_k_vocab_pallas)
