@@ -76,7 +76,7 @@ def main():
     # contract (no args => same JSON line)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--frames", type=int, default=9000)
-    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
     from __graft_entry__ import FLAGSHIP_ENCODER, VOCAB
 
@@ -122,13 +122,21 @@ def main():
     predictor_step, joint_step, init_state_fn = \
         rnnt_search.make_transducer_step_fns(model, params)
 
-    # the WHOLE product chain (encoder -> ctc log-probs -> beam scan) as
-    # ONE dispatched program — mirrors `recognize_wav --fuse on`; through
-    # the relay each extra dispatch costs a round trip
+    # encoder -> ctc log-probs as one jitted program; the beam runs as
+    # its own (cached) program.  Two dispatches per iteration instead of
+    # one, but the beam's OWN jit may use the VMEM-pinned pallas
+    # predictor + joint kernels — pinned-weight kernels inside a single
+    # whole-chain program killed the TPU worker at runtime (NOTES.md
+    # round-4), so the single-dispatch form now costs MORE than the
+    # round trip it saves
     @jax.jit
-    def full_chain(prm, f, l):
+    def enc_chain(prm, f, l):
         enc, el = model.apply(prm, f, l, method=model.forward_encoder)
         logp = model.apply(prm, enc, method=model.ctc_logprobs)
+        return enc, el, logp
+
+    def full_chain(prm, f, l):
+        enc, el, logp = enc_chain(prm, f, l)
         return rnnt_search.pack_device_beam(rnnt_search.rnnt_beam_search(
             predictor_step, joint_step, init_state_fn, enc, el, logp,
             beam_size=BEAM, ctc_weight=0.3, transducer_weight=0.7,
@@ -155,17 +163,27 @@ def main():
     # the relay executes every chain (NOTES.md "Gotchas").
     iters = args.iters
     t0 = time.perf_counter()
+    stamps = []
     pending = full_chain(params, feats, lens)
     for _ in range(iters - 1):
         nxt = full_chain(params, feats, lens)
         res = rnnt_search.finalize_device_beam(pending, beam=BEAM)
+        stamps.append(time.perf_counter())
         pending = nxt
     res = rnnt_search.finalize_device_beam(pending, beam=BEAM)
-    elapsed = time.perf_counter() - t0
+    stamps.append(time.perf_counter())
+    elapsed = stamps[-1] - t0
 
     n_tok = float(np.mean([len(r.tokens) for r in res]))
-    audio_seconds = iters * B * T * 0.01
-    inv_rtf = audio_seconds / elapsed
+    audio_per_iter = B * T * 0.01
+    audio_seconds = iters * audio_per_iter
+    # headline = median steady iteration (robust to transient relay
+    # stalls; the first delta carries the pipeline fill so it is
+    # excluded when there are enough samples)
+    deltas = np.diff([t0] + stamps)
+    steady = deltas[1:] if len(deltas) > 2 else deltas
+    inv_rtf = audio_per_iter / float(np.median(steady))
+    inv_rtf_mean = audio_seconds / elapsed
     print(json.dumps({
         "metric": "lf_decode_1_over_rtf",
         "value": round(inv_rtf, 2),
@@ -175,6 +193,8 @@ def main():
             "audio_hours_per_sec": round(inv_rtf / 3600.0, 4),
             "batch": B, "window_frames": T, "beam": BEAM,
             "iters": iters, "elapsed_s": round(elapsed, 3),
+            "inv_rtf_mean_all_iters": round(inv_rtf_mean, 2),
+            "iter_s": [round(float(d), 3) for d in deltas],
             "mean_tokens_per_window": round(n_tok, 1),
             "compile_s": round(compile_s, 1),
             "mode": "rnnt_beam_search ctc0.3/tw0.7 (recognize_wav path)",

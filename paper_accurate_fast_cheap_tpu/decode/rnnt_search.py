@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Callable, List
 
 import jax
@@ -66,6 +67,45 @@ def make_transducer_step_fns(model, params):
             p, ep, pr, method=model.joint_preact))
         joint_step.enc_proj = jax.jit(lambda p, e: model.apply(
             p, e, method=model.joint_enc_proj))
+
+    # Fused single-dispatch predictor step for the standard RNN
+    # predictor (embed gather in XLA + `ops/lstm_pallas.py` stacked-LSTM
+    # kernel with VMEM-pinned weights).  Exposed as an attribute like
+    # `joint_step.preact`; the device beam uses it per frame on TPU —
+    # the XLA step re-reads ~14 MB of predictor weights from HBM every
+    # frame (0.126 ms/frame at B=32, `bin/scan_op_bench.py`).
+    try:
+        _pp = params["params"]["predictor"]
+        _is_rnn = all(k in _pp for k in ("embed", "lstm_0", "projection"))
+    except (KeyError, TypeError):
+        _is_rnn = False
+    if _is_rnn:
+        from paper_accurate_fast_cheap_tpu.ops import lstm_pallas
+
+        _nl = sum(1 for k in _pp if k.startswith("lstm_"))
+        _E = _pp["embed"]["embedding"].shape[1]
+        _H = _pp["lstm_0"]["hh"].shape[0]
+        _O = _pp["projection"]["kernel"].shape[1]
+
+        def _fused_pred(p, tok, st):
+            pred = p["params"]["predictor"]
+            hs, cs = st
+            if not lstm_pallas.supported(
+                    _E, _H, _O, tok.shape[0],
+                    pred["embed"]["embedding"].dtype):
+                return model.apply(p, tok, st,
+                                   method=model.predictor_step)
+            x = jnp.take(pred["embed"]["embedding"], tok, axis=0)
+            layers = tuple(
+                (pred[f"lstm_{i}"]["ih"]["kernel"],
+                 pred[f"lstm_{i}"]["ih"]["bias"],
+                 pred[f"lstm_{i}"]["hh"]) for i in range(_nl))
+            out, nhs, ncs = lstm_pallas.lstm_predictor_step(
+                x, hs, cs, layers, pred["projection"]["kernel"],
+                pred["projection"]["bias"])
+            return out, (nhs, ncs)
+
+        predictor_step.fused = jax.jit(_fused_pred)
     init_state_fn = functools.partial(model.apply, params,
                                       method=model.predictor_init_state)
     fns = (predictor_step, joint_step, init_state_fn)
@@ -406,6 +446,19 @@ def _rnnt_beam_search_device(
     # attributes, non-HAT joint) and params riding as program inputs
     preact_fn = getattr(orig_steps[1], "preact", None)
     can_jf = preact_fn is not None and params is not None
+    # fused pallas predictor step (VMEM-pinned LSTM weights): same
+    # gating idea — only on TPU, only with params as program inputs.
+    # NOT under an outer trace: inside a caller's enclosing jit (the
+    # fused recognize_wav/bench chain) the pinned-weight program killed
+    # the TPU worker at runtime (2026-08-20; the beam's own jit runs it
+    # fine — crash log in NOTES.md round-4 section).
+    _fp = getattr(orig_steps[0], "fused", None)
+    _outer_trace = isinstance(jnp.zeros(()) + 0, jax.core.Tracer)
+    _pf = os.environ.get("PAFC_PRED_FUSED", "1")  # 0 | 1 | force
+    if (_fp is not None and params is not None and _pf != "0"
+            and (not _outer_trace or _pf == "force")
+            and jax.default_backend() == "tpu"):
+        predictor_step = _fp
     if topk_impl == "auto":
         topk_impl = ("pallas_joint" if can_jf else "pallas"
                      ) if jax.default_backend() == "tpu" else "xla"
