@@ -56,7 +56,8 @@ def get_args(argv=None):
                    help="switch self-attention to LCA with this context")
     p.add_argument("--encoder_global_tokens", type=int, default=0)
     p.add_argument("--encoder_global_tokens_spacing", type=int, default=1)
-    p.add_argument("--fuse", default="auto", choices=["auto", "on", "off"],
+    p.add_argument("--fuse", default="auto",
+                   choices=["auto", "on", "split", "off"],
                    help="fuse the whole per-batch device chain (window "
                         "slice -> fbank -> encoder -> ctc -> beam scan -> "
                         "top-hypothesis Viterbi alignment) into ONE "
@@ -278,13 +279,39 @@ def main(argv=None):
     win_samples = (args.chunk_size - 1) * frame_shift + frame_length
     window_slice = make_window_slicer(wav, win_samples)
 
-    fuse = (args.fuse in ("on", "auto")
-            and args.mode == "rnnt_beam_search"
-            and model_type == "transducer" and args.seq_parallel <= 1)
-    if args.fuse == "on" and not fuse:
+    fusable = (args.mode == "rnnt_beam_search"
+               and model_type == "transducer" and args.seq_parallel <= 1)
+    # "on"/"auto": ONE jitted program per batch (window slice -> fbank ->
+    # encoder -> ctc -> beam -> align).  "split": the beam runs as its
+    # own cached program OUTSIDE the chain jit — only that form may use
+    # the VMEM-pinned pallas predictor/joint kernels (pinned kernels
+    # inside an enclosing jit killed the TPU worker, NOTES.md round-4),
+    # trading one extra dispatch per batch for a ~25% faster beam scan.
+    # measured crossover on the 3 h episode (2026-08-20): batch 8 x
+    # 200 s windows -> chain 526x vs split 380x (dispatch overhead
+    # dominates a narrow beam); batch 64 x 25 s -> split 1754x vs chain
+    # 1363x (the pinned kernels win once the beam is wide).  auto picks
+    # by batch width.
+    _req = args.fuse
+    if _req == "auto":
+        _req = "split" if args.batch_size >= 32 else "on"
+    fuse = "chain" if (_req == "on" and fusable) else (
+        "split" if (_req == "split" and fusable) else "off")
+    if args.fuse in ("on", "split") and fuse == "off":
         logging.warning("--fuse requires rnnt_beam_search on a "
                         "transducer without --seq_parallel; ignoring")
-    if fuse:
+    if fuse == "split":
+        def _enc_chain(p, wav_buf, starts, slens_d):
+            swins = window_slice.func(wav_buf, starts)
+            feats, feat_lens = featurize(swins, slens_d, train=False)
+            if args.precision == "bf16":
+                feats = feats.astype(jnp.bfloat16)
+            enc, enc_lens = fwd.func(p, feats, feat_lens)
+            logp = ctc_fn.func(p, enc)
+            return enc, enc_lens, logp
+
+        enc_chain = functools.partial(jax.jit(_enc_chain), params)
+    if fuse == "chain":
         align_lmax = (args.align_max_tokens
                       or max(64, args.chunk_size // 16))
 
@@ -384,12 +411,25 @@ def main(argv=None):
     for group, s0, slens in window_batches(len(wav), args.chunk_size,
                                            args.batch_size,
                                            frame_shift, frame_length):
-        if fuse:
+        if fuse == "chain":
             enc_lens, logp, payload, path, path_ok = chain(
                 window_slice.args[0], jnp.asarray(s0),
                 jnp.asarray(slens))
             entry = (group, slens, enc_lens, logp, payload, path,
                      path_ok)
+        elif fuse == "split":
+            enc, enc_lens, logp = enc_chain(
+                window_slice.args[0], jnp.asarray(s0),
+                jnp.asarray(slens))
+            payload = rnnt_search.rnnt_beam_search(
+                predictor_step, joint_step, init_state_fn, enc,
+                enc_lens, logp, beam_size=args.beam_size,
+                ctc_weight=args.ctc_weight,
+                transducer_weight=args.transducer_weight,
+                params=params, defer=True,
+                unroll=args.beam_unroll, merge=args.beam_merge,
+            )
+            entry = (group, slens, enc_lens, logp, payload, None, None)
         else:
             swins = window_slice(jnp.asarray(s0))
             feats, feat_lens = featurize(swins, jnp.asarray(slens),

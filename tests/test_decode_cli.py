@@ -86,6 +86,32 @@ def test_recognize_wav_cli(trained, tmp_path):
         assert len(parts) == 5
         assert float(parts[3]) >= 0
 
+    # --fuse split (encoder-chain jit + standalone beam program, the
+    # wide-batch auto mode) must produce the same transcript/CTM
+    out_dir2 = tmp_path / "lf_split"
+    rc = main([
+        "--config", str(model_dir / "train.yaml"),
+        "--checkpoint", str(model_dir / "epoch_0000"),
+        "--wav", str(wav_path),
+        "--output_dir", str(out_dir2),
+        "--chunk_size", "120", "--batch_size", "2",
+        "--fuse", "split", "--precision", "fp32",
+    ])
+    assert rc == 0
+    base = main([
+        "--config", str(model_dir / "train.yaml"),
+        "--checkpoint", str(model_dir / "epoch_0000"),
+        "--wav", str(wav_path),
+        "--output_dir", str(tmp_path / "lf_off"),
+        "--chunk_size", "120", "--batch_size", "2",
+        "--fuse", "off", "--precision", "fp32",
+    ])
+    assert base == 0
+    assert ((out_dir2 / "long.txt").read_text()
+            == (tmp_path / "lf_off" / "long.txt").read_text())
+    assert ((out_dir2 / "long.ctm").read_text()
+            == (tmp_path / "lf_off" / "long.ctm").read_text())
+
 
 def test_average_model_cli(trained):
     from paper_accurate_fast_cheap_tpu.bin.average_model import main
