@@ -421,6 +421,9 @@ def main(argv=None):
             enc, enc_lens, logp = enc_chain(
                 window_slice.args[0], jnp.asarray(s0),
                 jnp.asarray(slens))
+            # NOT packed: an eager pack_device_beam costs an extra
+            # dispatch that cancels the one-fetch saving (frontier A/B
+            # 2026-08-20: packed 1712x vs raw 1754x)
             payload = rnnt_search.rnnt_beam_search(
                 predictor_step, joint_step, init_state_fn, enc,
                 enc_lens, logp, beam_size=args.beam_size,
