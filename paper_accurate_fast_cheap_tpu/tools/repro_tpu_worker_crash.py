@@ -1,4 +1,7 @@
-"""Minimal repros for the three TPU-worker crashes observed in rounds 2-3.
+"""Minimal repros for the TPU-worker crash classes observed in rounds 2-4.
+
+(Round 4 added ``--case pinned_outer_jit`` — VMEM-pinned pallas weights
+under an enclosing jit; see that case's docstring and NOTES.md.)
 
 ISSUE NOTE (round 3).  Three distinct programs have killed the remote TPU
 worker process ("TPU worker process crashed or restarted", tunnel dead for
@@ -130,10 +133,76 @@ def case_sort_topk():
     print("sort_topk survived:", float(final.sum()), idxs.shape)
 
 
+def case_pinned_outer_jit():
+    # Round-4 crash (#5/#6 of the log, REPEATED): a pallas kernel whose
+    # weights are VMEM-pinned via `with_memory_space_constraint`, traced
+    # inside an ENCLOSING jit alongside a large encoder program, kills
+    # the worker at runtime — the identical kernel run as its own jitted
+    # program passes (the product beam runs it that way; bench.py and
+    # `recognize_wav --fuse split` moved to the two-dispatch form for
+    # exactly this reason).  Recovery was minutes (not hours) both
+    # times.  This rebuilds the retired single-dispatch chain with the
+    # fused predictor forced on under the outer trace.
+    import os
+
+    os.environ["PAFC_PRED_FUSED"] = "force"
+    import sys as _sys
+    import pathlib
+
+    root = str(pathlib.Path(__file__).resolve().parents[2])
+    if root not in _sys.path:
+        _sys.path.insert(0, root)
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import FLAGSHIP_ENCODER, VOCAB
+    from paper_accurate_fast_cheap_tpu.decode import rnnt_search
+    from paper_accurate_fast_cheap_tpu.models import factory
+
+    config = {
+        "model": "transducer", "encoder": "conformer",
+        "encoder_conf": {k: v for k, v in FLAGSHIP_ENCODER.items()
+                         if k != "input_size"},
+        "predictor": "rnn",
+        "predictor_conf": {"embed_size": 640, "output_size": 640,
+                           "embed_dropout": 0.1, "hidden_size": 640,
+                           "num_layers": 2, "dropout": 0.1},
+        "joint_conf": {"join_dim": 640},
+        "decoder": None,
+        "model_conf": {"ctc_weight": 0.3, "transducer_weight": 0.7,
+                       "attention_weight": 0.0},
+    }
+    model, _ = factory.init_model(config, VOCAB, 80)
+    B, T = 32, 9000
+    feats = jax.random.normal(jax.random.PRNGKey(0), (B, T, 80)
+                              ).astype(jnp.bfloat16)
+    lens = jnp.full((B,), T, jnp.int32)
+    params = model.init(jax.random.PRNGKey(1),
+                        feats[:1, :256].astype(jnp.float32), lens[:1],
+                        jnp.ones((1, 4), jnp.int32), jnp.asarray([4]))
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params)
+    ps, js, init = rnnt_search.make_transducer_step_fns(model, params)
+
+    @jax.jit
+    def full_chain(prm, f, l):
+        enc, el = model.apply(prm, f, l, method=model.forward_encoder)
+        logp = model.apply(prm, enc, method=model.ctc_logprobs)
+        return rnnt_search.pack_device_beam(rnnt_search.rnnt_beam_search(
+            ps, js, init, enc, el, logp, beam_size=8, ctc_weight=0.3,
+            transducer_weight=0.7, impl="device", params=prm,
+            defer=True))
+
+    res = rnnt_search.finalize_device_beam(
+        full_chain(params, feats, lens), beam=8)
+    print("pinned_outer_jit survived:", len(res))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", required=True,
-                    choices=["v7_encoder", "pallas_lf", "sort_topk"])
+                    choices=["v7_encoder", "pallas_lf", "sort_topk",
+                             "pinned_outer_jit"])
     ap.add_argument("--i-accept-worker-loss", action="store_true")
     args = ap.parse_args()
     if not args.i_accept_worker_loss:
