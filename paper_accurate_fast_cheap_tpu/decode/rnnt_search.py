@@ -312,6 +312,25 @@ def rnnt_beam_search(
 _DEVICE_BEAM_CACHE: dict = {}
 
 
+def _under_trace() -> bool:
+    """True when called inside an active jax trace (jit/vmap/grad).
+
+    Prefers the explicit `jax.core.trace_state_clean()` API; the
+    fallback probes whether a fresh constant op stages as a tracer,
+    which relies on jax staging constants under the dynamic trace —
+    kept only for jax versions without the API.
+    """
+    clean = getattr(jax.core, "trace_state_clean", None)
+    if clean is None:  # jax 0.9 exposes it only under _src
+        try:
+            from jax._src.core import trace_state_clean as clean
+        except ImportError:
+            clean = None
+    if clean is not None:
+        return not clean()
+    return isinstance(jnp.zeros(()) + 0, jax.core.Tracer)
+
+
 def _top_k_iter(x: jax.Array, k: int):
     """Exact top-k over the last axis via k rounds of masked argmax.
 
@@ -453,11 +472,12 @@ def _rnnt_beam_search_device(
     # the TPU worker at runtime (2026-08-20; the beam's own jit runs it
     # fine — crash log in NOTES.md round-4 section).
     _fp = getattr(orig_steps[0], "fused", None)
-    _outer_trace = isinstance(jnp.zeros(()) + 0, jax.core.Tracer)
+    _outer_trace = _under_trace()
     _pf = os.environ.get("PAFC_PRED_FUSED", "1")  # 0 | 1 | force
-    if (_fp is not None and params is not None and _pf != "0"
-            and (not _outer_trace or _pf == "force")
-            and jax.default_backend() == "tpu"):
+    pred_fused = (_fp is not None and params is not None and _pf != "0"
+                  and (not _outer_trace or _pf == "force")
+                  and jax.default_backend() == "tpu")
+    if pred_fused:
         predictor_step = _fp
     if topk_impl == "auto":
         topk_impl = ("pallas_joint" if can_jf else "pallas"
@@ -701,11 +721,17 @@ def _rnnt_beam_search_device(
     # the jitted scan is cached per (step fns, shapes): re-tracing the
     # ~300-op body every call costs seconds — with long-form windowed
     # decode calling this per window, the retrace would dominate
+    # key includes the RESOLVED fused-predictor and top-k VMEM-pin
+    # decisions: both are env/backend-dependent (PAFC_PRED_FUSED /
+    # PAFC_TOPK_VMEM read per call), so an A/B script flipping the env
+    # between calls must not reuse the scan compiled for the other path
+    from paper_accurate_fast_cheap_tpu.ops.topk_pallas import (
+        topk_w_vmem_enabled)
     key = (id(orig_steps[0]), id(orig_steps[1]), params is None, B, T, N,
            ctc_probs.shape[-1], enc_out.shape[-1], blank_id,
            round(log_tw, 8), round(log_cw, 8),
            str(enc_out.dtype), str(ctc_probs.dtype), unroll, merge,
-           topk_impl)
+           topk_impl, pred_fused, topk_w_vmem_enabled())
     # Under an OUTER trace (e.g. the fused recognize_wav chain jits this
     # whole search) every jnp op above — including constants like
     # `jidx = jnp.arange(NK)` — is staged as a tracer of that trace.  A
@@ -713,7 +739,7 @@ def _rnnt_beam_search_device(
     # closure and poison any later same-key call (UnexpectedTracerError),
     # so tracing callers bypass the cache: their enclosing program is
     # compiled (and cached) as a whole anyway.
-    tracing = isinstance(jnp.zeros(()) + 0, jax.core.Tracer)
+    tracing = _under_trace()
     cached = None if tracing else _DEVICE_BEAM_CACHE.get(key)
     if cached is None:
         # unroll>1 amortizes per-iteration loop overhead of the tiny

@@ -100,9 +100,16 @@ def _ffn_rows(x, w1, b1, w2, b2, act: str, rows: int):
 
 
 def _ffn_ref(x, w1, b1, w2, b2, act: str):
-    """The plain XLA formula (= two nn.Dense calls); backward recompute."""
-    h = _ACT[act]((x @ w1 + b1).astype(x.dtype))
-    return (h @ w2 + b2).astype(x.dtype)
+    """The plain XLA formula (= two nn.Dense calls); backward recompute.
+
+    The activation is applied to the UN-truncated (f32-accumulated)
+    pre-activation, matching both the kernel (f32 scratch tile) and the
+    XLA production path (jnp.dot promotes and the act runs on the f32
+    result) — truncating to bf16 before the act would put this fallback
+    / VJP-recompute path in a third numerics class.
+    """
+    h = _ACT[act]((x @ w1.astype(jnp.float32) + b1).astype(jnp.float32))
+    return (h.astype(x.dtype) @ w2 + b2).astype(x.dtype)
 
 
 def supported(shape, D: int, H: int, dtype) -> bool:

@@ -36,6 +36,7 @@ This kernel exists purely to price the TPU-native on-device search.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -319,6 +320,19 @@ def _joint_topk_rows(x, w, b, ctc, k, n_rep, ltw, lcw, rows,
     return vals[:, :k], idx[:, :k]
 
 
+def topk_w_vmem_enabled() -> bool:
+    """Resolved decision: pin the joint W/b in VMEM for this call?
+
+    Default on (for TPU) — the pin is a measured 1.49x on the beam step
+    — but `PAFC_TOPK_VMEM=0` disables it without losing the fused
+    kernel, in case a wider joint (or a future co-resident pinned
+    buffer) crosses the per-program pinned-bytes crash envelope mapped
+    in NOTES.md round-4.
+    """
+    return (os.environ.get("PAFC_TOPK_VMEM", "1") != "0"
+            and jax.default_backend() == "tpu")
+
+
 def joint_top_k_vocab_pallas(x: jax.Array, w: jax.Array, b: jax.Array,
                              ctc: jax.Array, k: int, log_tw: float,
                              log_cw: float, rows: int = 128):
@@ -378,7 +392,7 @@ def joint_top_k_vocab_pallas(x: jax.Array, w: jax.Array, b: jax.Array,
                          constant_values=-jnp.inf)
     vals, idx = _joint_topk_rows(x, wp, bp, ct, k, n_rep, float(log_tw),
                                  float(log_cw), rows_eff,
-                                 w_vmem=jax.default_backend() == "tpu")
+                                 w_vmem=topk_w_vmem_enabled())
     return vals.reshape(B, n_rep, k), idx.reshape(B, n_rep, k)
 
 

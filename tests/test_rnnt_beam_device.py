@@ -266,3 +266,66 @@ def test_packed_finalize_matches_dict(seed):
     got2 = rnnt_search.finalize_device_beam(packed2, beam=4)
     for w, g in zip(want, got2):
         assert g.tokens == w.tokens
+
+
+def test_under_trace_detection():
+    """_under_trace() must be True inside jit tracing and False eagerly.
+
+    The VMEM-pinned fused predictor is gated on this (a pinned-weight
+    kernel inside an ENCLOSING jit kills the TPU worker at runtime —
+    NOTES.md round-4 crash envelope), so the detection must hold under
+    jax.jit, vmap, and grad tracing regardless of jax's constant-folding
+    behavior (ADVICE r4).
+    """
+    assert not rnnt_search._under_trace()
+    seen = {}
+
+    def probe(x):
+        seen["jit"] = rnnt_search._under_trace()
+        return x * 2
+
+    jax.jit(probe)(jnp.ones(()))
+    assert seen["jit"] is True
+    assert not rnnt_search._under_trace()  # clean again after tracing
+
+    def probe_grad(x):
+        seen["grad"] = rnnt_search._under_trace()
+        return (x * x).sum()
+
+    jax.grad(probe_grad)(jnp.ones(()))
+    assert seen["grad"] is True
+
+    def probe_vmap(x):
+        seen["vmap"] = rnnt_search._under_trace()
+        return x + 1
+
+    jax.vmap(probe_vmap)(jnp.ones((3,)))
+    assert seen["vmap"] is True
+    assert not rnnt_search._under_trace()
+
+
+def test_beam_cache_key_tracks_env(monkeypatch):
+    """Flipping PAFC_PRED_FUSED / PAFC_TOPK_VMEM between calls must not
+    silently reuse a scan compiled for the other predictor/top-k path
+    (ADVICE r4): the resolved decisions ride in the cache key."""
+    setup = _Setup(0)
+    ps, js, init = setup.jax_fns()
+    args = (ps, js, init, jnp.asarray(setup.enc), jnp.asarray(setup.lens),
+            jnp.asarray(setup.ctc))
+    kw = dict(beam_size=4, blank_id=0, ctc_weight=0.3,
+              transducer_weight=0.7, impl="device")
+    rnnt_search._DEVICE_BEAM_CACHE.clear()
+    monkeypatch.setenv("PAFC_TOPK_VMEM", "1")
+    r1 = rnnt_search.rnnt_beam_search(*args, **kw)
+    n1 = len(rnnt_search._DEVICE_BEAM_CACHE)
+    assert n1 == 1
+    # on CPU topk_w_vmem_enabled() is False either way (backend gate), so
+    # assert on the key structure instead: the last two key fields are the
+    # resolved (pred_fused, topk_w_vmem) decisions
+    key = next(iter(rnnt_search._DEVICE_BEAM_CACHE))
+    assert isinstance(key[-1], bool) and isinstance(key[-2], bool)
+    # same env -> cache hit (no growth)
+    r2 = rnnt_search.rnnt_beam_search(*args, **kw)
+    assert len(rnnt_search._DEVICE_BEAM_CACHE) == 1
+    for a, b in zip(r1, r2):
+        assert a.tokens == b.tokens
