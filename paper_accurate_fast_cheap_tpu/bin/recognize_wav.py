@@ -300,6 +300,9 @@ def main(argv=None):
     if args.fuse in ("on", "split") and fuse == "off":
         logging.warning("--fuse requires rnnt_beam_search on a "
                         "transducer without --seq_parallel; ignoring")
+    if fuse in ("chain", "split"):
+        align_lmax = (args.align_max_tokens
+                      or max(64, args.chunk_size // 16))
     if fuse == "split":
         def _enc_chain(p, wav_buf, starts, slens_d):
             swins = window_slice.func(wav_buf, starts)
@@ -312,9 +315,6 @@ def main(argv=None):
 
         enc_chain = functools.partial(jax.jit(_enc_chain), params)
     if fuse == "chain":
-        align_lmax = (args.align_max_tokens
-                      or max(64, args.chunk_size // 16))
-
         # params MUST ride as a runtime argument of the fused program:
         # calling the partial-bound `fwd`/`ctc_fn` inside this trace
         # would bake the whole param dict into the HLO as literals
@@ -339,25 +339,33 @@ def main(argv=None):
                 logp, enc_lens, out["hyps"][:, 0, :align_lmax],
                 out["hyp_len"][:, 0],
             )
-            # packed beam: finalize fetches ONE buffer instead of three
-            return enc_lens, logp, rnnt_search.pack_device_beam(out), \
-                path, ok
+            # ONE packed buffer: beam + align path + ok + lens -> the
+            # whole batch materializes in a single fetch
+            return logp, rnnt_search.pack_device_beam_aligned(
+                out, path, ok, enc_lens)
 
         chain = functools.partial(jax.jit(_chain), params)
 
     def finalize(entry):
         """Materialize one dispatched batch: fetch, search-finalize,
         align, CTM."""
-        group, slens, enc_lens, logp, payload, path, path_ok = entry
-        lens_np = np.asarray(enc_lens)
-        if args.mode == "rnnt_beam_search":
-            res = rnnt_search.finalize_device_beam(
-                payload, beam=args.beam_size)
-        elif args.mode == "ctc_greedy_search":
-            res = search.ctc_greedy_search(np.asarray(logp), lens_np)
+        group, slens, enc_lens, logp, payload, aligned_buf = entry
+        path = None
+        if aligned_buf is not None:
+            # fused modes: beam + Viterbi path + ok + lens in ONE fetch
+            res, path_np, ok_np, lens_np = \
+                rnnt_search.finalize_device_beam_aligned(
+                    aligned_buf, beam=args.beam_size)
         else:
-            res = search.ctc_prefix_beam_search(
-                np.asarray(logp), lens_np, beam_size=args.beam_size)
+            lens_np = np.asarray(enc_lens)
+            if args.mode == "rnnt_beam_search":
+                res = rnnt_search.finalize_device_beam(
+                    payload, beam=args.beam_size)
+            elif args.mode == "ctc_greedy_search":
+                res = search.ctc_greedy_search(np.asarray(logp), lens_np)
+            else:
+                res = search.ctc_prefix_beam_search(
+                    np.asarray(logp), lens_np, beam_size=args.beam_size)
         # token timing: one batched on-device Viterbi per window batch
         # (the host aligner costs seconds/row at LF window sizes)
         need_align = [b for b, r in enumerate(res)
@@ -365,10 +373,8 @@ def main(argv=None):
                                            and len(r.times)
                                            == len(r.tokens))]
         alis = {}
-        if need_align and path is not None:
-            # fused chain already aligned the top hypothesis on device
-            ok_np = np.asarray(path_ok)
-            path_np = np.asarray(path)
+        if need_align and aligned_buf is not None:
+            # fused modes already aligned the top hypothesis on device
             fused_rows = [b for b in need_align if ok_np[b]]
             for b in fused_rows:
                 alis[b] = [int(x) for x in path_np[b, : lens_np[b]]]
@@ -412,27 +418,28 @@ def main(argv=None):
                                            args.batch_size,
                                            frame_shift, frame_length):
         if fuse == "chain":
-            enc_lens, logp, payload, path, path_ok = chain(
+            logp, buf = chain(
                 window_slice.args[0], jnp.asarray(s0),
                 jnp.asarray(slens))
-            entry = (group, slens, enc_lens, logp, payload, path,
-                     path_ok)
+            entry = (group, slens, None, logp, None, buf)
         elif fuse == "split":
             enc, enc_lens, logp = enc_chain(
                 window_slice.args[0], jnp.asarray(s0),
                 jnp.asarray(slens))
-            # NOT packed: an eager pack_device_beam costs an extra
-            # dispatch that cancels the one-fetch saving (frontier A/B
-            # 2026-08-20: packed 1712x vs raw 1754x)
-            payload = rnnt_search.rnnt_beam_search(
+            # align_pack folds the Viterbi align + packing INTO the
+            # beam's own cached program: 2 dispatches + 1 fetch per
+            # batch (vs 3 raw beam fetches + a separate align dispatch
+            # before), while the beam keeps its VMEM-pinned kernels
+            buf = rnnt_search.rnnt_beam_search(
                 predictor_step, joint_step, init_state_fn, enc,
                 enc_lens, logp, beam_size=args.beam_size,
                 ctc_weight=args.ctc_weight,
                 transducer_weight=args.transducer_weight,
                 params=params, defer=True,
                 unroll=args.beam_unroll, merge=args.beam_merge,
+                align_pack=align_lmax,
             )
-            entry = (group, slens, enc_lens, logp, payload, None, None)
+            entry = (group, slens, None, logp, None, buf)
         else:
             swins = window_slice(jnp.asarray(s0))
             feats, feat_lens = featurize(swins, jnp.asarray(slens),
@@ -452,7 +459,7 @@ def main(argv=None):
                 )
             else:
                 payload = None
-            entry = (group, slens, enc_lens, logp, payload, None, None)
+            entry = (group, slens, enc_lens, logp, payload, None)
         if pending is not None:
             finalize(pending)
         pending = entry

@@ -280,6 +280,7 @@ def rnnt_beam_search(
     unroll: int = 1,
     merge: str = "pairwise",
     topk_impl: str = "auto",
+    align_pack: int = 0,
 ):
     """Batched prefix beam search with CTC shallow fusion.
 
@@ -295,12 +296,21 @@ def rnnt_beam_search(
     With ``params`` given, the step fns must take params as their first
     argument (`make_transducer_step_fns`) and the weights are threaded
     through the scan as program inputs instead of baked HLO literals.
+
+    ``align_pack=Lmax`` (device impl, ``defer=True`` only) folds the
+    top-hypothesis CTC Viterbi alignment (`force_align_device_tokens`,
+    first Lmax tokens) INTO the beam's own jitted program and returns
+    one packed int32 buffer (`finalize_device_beam_aligned`) instead of
+    the carry dict: long-form decode (`bin/recognize_wav --fuse split`)
+    then costs one dispatch + one fetch for beam+align+lens combined,
+    while the beam still runs as its own program (VMEM-pinned kernels
+    stay inside their crash envelope, NOTES.md round-4).
     """
     if impl == "device":
         return _rnnt_beam_search_device(
             predictor_step, joint_step, init_state_fn, enc_out, enc_lens,
             ctc_probs, beam_size, blank_id, ctc_weight, transducer_weight,
-            params, defer, unroll, merge, topk_impl,
+            params, defer, unroll, merge, topk_impl, align_pack,
         )
     return _rnnt_beam_search_host(
         predictor_step, joint_step, init_state_fn, enc_out, enc_lens,
@@ -423,7 +433,7 @@ def _rnnt_beam_search_device(
     predictor_step, joint_step, init_state_fn, enc_out, enc_lens,
     ctc_probs, beam_size, blank_id, ctc_weight, transducer_weight,
     params=None, defer=False, unroll=1, merge="pairwise",
-    topk_impl="auto",
+    topk_impl="auto", align_pack=0,
 ):
     """Fully on-device prefix beam search (one jitted scan over frames).
 
@@ -731,7 +741,7 @@ def _rnnt_beam_search_device(
            ctc_probs.shape[-1], enc_out.shape[-1], blank_id,
            round(log_tw, 8), round(log_cw, 8),
            str(enc_out.dtype), str(ctc_probs.dtype), unroll, merge,
-           topk_impl, pred_fused, topk_w_vmem_enabled())
+           topk_impl, pred_fused, topk_w_vmem_enabled(), align_pack)
     # Under an OUTER trace (e.g. the fused recognize_wav chain jits this
     # whole search) every jnp op above — including constants like
     # `jidx = jnp.arange(NK)` — is staged as a tracer of that trace.  A
@@ -745,9 +755,28 @@ def _rnnt_beam_search_device(
         # unroll>1 amortizes per-iteration loop overhead of the tiny
         # (~300-op, no-matmul-bound) step body — the scan's serial
         # latency, not its FLOPs, prices the search on TPU
-        run = jax.jit(lambda prms, c, x, lens: jax.lax.scan(
-            lambda cc, xx: step(prms, lens, cc, xx), c, x,
-            unroll=unroll)[0])
+        if align_pack > 0:
+            from paper_accurate_fast_cheap_tpu.ops import ctc_utils
+
+            def _run_aligned(prms, c, x, lens):
+                carry = jax.lax.scan(
+                    lambda cc, xx: step(prms, lens, cc, xx), c, x,
+                    unroll=unroll)[0]
+                # x[1] is the (T, B, V[p]) CTC log-probs; -inf pad
+                # columns (pallas_joint pre-pad) are never indexed by
+                # real token ids, so alignment is unaffected
+                logp_btv = jnp.moveaxis(x[1], 0, 1)
+                path, ok = ctc_utils.force_align_device_tokens(
+                    logp_btv, lens,
+                    carry["hyps"][:, 0, :align_pack],
+                    carry["hyp_len"][:, 0], blank_id=blank_id)
+                return pack_device_beam_aligned(carry, path, ok, lens)
+
+            run = jax.jit(_run_aligned)
+        else:
+            run = jax.jit(lambda prms, c, x, lens: jax.lax.scan(
+                lambda cc, xx: step(prms, lens, cc, xx), c, x,
+                unroll=unroll)[0])
         # hold the step fns so their id()s stay valid for the cache key
         if not tracing:
             _DEVICE_BEAM_CACHE[key] = (run, orig_steps)
@@ -758,6 +787,8 @@ def _rnnt_beam_search_device(
     out = run(params, carry0, xs, lens_dev)
     if defer:
         return out
+    if align_pack > 0:
+        return finalize_device_beam_aligned(out, beam=N)[0]
     return finalize_device_beam(out)
 
 
@@ -821,6 +852,45 @@ def finalize_device_beam(out, beam: int = 0) -> List[DecodeResult]:
             nbest=nbest, nbest_scores=nscores,
         ))
     return results
+
+
+def pack_device_beam_aligned(out, path, ok, lens) -> jax.Array:
+    """`pack_device_beam` + the top-hypothesis Viterbi path + ok flag +
+    enc lens, all in ONE int32 buffer (one host fetch materializes the
+    beam, its alignment, and the lengths together).
+
+    Layout per row: [hyps N*L | hyp_len N | scores N (bitcast) |
+    path L | ok 1 | len 1]; recover with
+    ``finalize_device_beam_aligned(buf, beam=N)`` (L and the hyps L are
+    both the frame count T, so ``L = (W - 2N - 2) // (N + 1)``).
+    """
+    B, N, L = out["hyps"].shape
+    assert path.shape == (B, L), (path.shape, (B, L))
+    return jnp.concatenate([
+        pack_device_beam(out),
+        path.astype(jnp.int32),
+        ok.astype(jnp.int32)[:, None],
+        jnp.asarray(lens, jnp.int32)[:, None],
+    ], axis=1)
+
+
+def finalize_device_beam_aligned(buf, beam: int):
+    """Materialize a `pack_device_beam_aligned` buffer (the ONE fetch).
+
+    Returns (results, path (B, T) int32 np, ok (B,) bool np,
+    lens (B,) int np).
+    """
+    arr = np.asarray(buf)
+    B, W = arr.shape
+    N = beam
+    L = (W - 2 * N - 2) // (N + 1)
+    assert N * L + 2 * N + L + 2 == W, (W, N, L)
+    beam_w = N * L + 2 * N
+    results = finalize_device_beam(arr[:, :beam_w], beam=N)
+    path = arr[:, beam_w: beam_w + L]
+    ok = arr[:, beam_w + L].astype(bool)
+    lens = arr[:, beam_w + L + 1]
+    return results, path, ok, lens
 
 
 def _rnnt_beam_search_host(

@@ -198,11 +198,94 @@ def case_pinned_outer_jit():
     print("pinned_outer_jit survived:", len(res))
 
 
+def case_pinned_bisect(pinned_mb: float, buffers: int,
+                       with_encoder: bool):
+    # Round-5 bisect instrument for the pinned_outer_jit envelope: the
+    # joint-W pin ALONE (6.4 MB, 2 buffers) survived the enclosing jit
+    # while the fused-LSTM pack (~14 MB, +1 buffer) killed the worker —
+    # so the boundary is somewhere in pinned BYTES or pinned BUFFER
+    # COUNT per program.  This builds `buffers` VMEM-pinned bf16
+    # weights totalling `pinned_mb` MB, feeds them to a toy pallas
+    # matmul kernel traced INSIDE an enclosing jit (optionally next to
+    # a large XLA matmul chain approximating the encoder's footprint),
+    # and fetches the result.  Bisect by calling with increasing sizes:
+    # each crash costs minutes of worker recovery (this class recovered
+    # fast both times, NOTES.md round-4).
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D = 512
+    per = pinned_mb * 1024 * 1024 / buffers
+    H = max(128, int(per / (D * 2)) // 128 * 128)  # bf16 cols per buffer
+    total_mb = buffers * D * H * 2 / 1024 / 1024
+    print(f"pinned_bisect: {buffers} buffers x ({D},{H}) bf16 = "
+          f"{total_mb:.1f} MB pinned, with_encoder={with_encoder}",
+          flush=True)
+
+    def kernel(x_ref, *refs):
+        o_ref = refs[-1]
+        acc = jnp.zeros((x_ref.shape[0], H), jnp.float32)
+        for w_ref in refs[:-1]:
+            acc += jax.lax.dot_general(
+                x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        o_ref[...] = acc.astype(jnp.bfloat16)
+
+    ws = [jax.random.normal(jax.random.PRNGKey(i), (D, H)
+                            ).astype(jnp.bfloat16) * 0.02
+          for i in range(buffers)]
+    big = jax.random.normal(jax.random.PRNGKey(99), (4096, D)
+                            ).astype(jnp.bfloat16)
+
+    def pinned_call(x, ws):
+        ws = [pltpu.with_memory_space_constraint(w, pltpu.VMEM)
+              for w in ws]
+        return pl.pallas_call(
+            kernel,
+            grid=(x.shape[0] // 256,),
+            in_specs=[pl.BlockSpec((256, D), lambda i: (i, 0))]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(ws),
+            out_specs=pl.BlockSpec((256, H), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((x.shape[0], H),
+                                           jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(x, *ws)
+
+    @jax.jit
+    def enclosing(big, ws):
+        z = big
+        if with_encoder:
+            # ~an encoder's worth of XLA matmul traffic in the SAME
+            # program, so the pinned kernel competes with XLA's own
+            # VMEM allocations (the suspected crash ingredient)
+            for _ in range(12):
+                z = jnp.tanh(z @ jnp.ones((D, D), jnp.bfloat16) * 0.01)
+        y = pinned_call(z[:4096], ws)
+        return y.sum()
+
+    import numpy as np
+    v = float(np.asarray(enclosing(big, ws)))
+    print(f"pinned_bisect survived: {v:.4f} "
+          f"({total_mb:.1f} MB / {buffers} buffers)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", required=True,
                     choices=["v7_encoder", "pallas_lf", "sort_topk",
-                             "pinned_outer_jit"])
+                             "pinned_outer_jit", "pinned_bisect"])
+    ap.add_argument("--pinned_mb", type=float, default=10.0,
+                    help="pinned_bisect: total pinned MB")
+    ap.add_argument("--buffers", type=int, default=2,
+                    help="pinned_bisect: number of pinned buffers")
+    ap.add_argument("--no_encoder", action="store_true",
+                    help="pinned_bisect: drop the co-resident XLA chain")
     ap.add_argument("--i-accept-worker-loss", action="store_true")
     args = ap.parse_args()
     if not args.i_accept_worker_loss:
@@ -210,9 +293,14 @@ def main():
                  "50 min - 3.5 h if the repro succeeds)")
     _require_tpu()
     t0 = time.time()
-    {"v7_encoder": case_v7_encoder,
-     "pallas_lf": case_pallas_lf,
-     "sort_topk": case_sort_topk}[args.case]()
+    if args.case == "pinned_bisect":
+        case_pinned_bisect(args.pinned_mb, args.buffers,
+                           not args.no_encoder)
+    else:
+        {"v7_encoder": case_v7_encoder,
+         "pallas_lf": case_pallas_lf,
+         "sort_topk": case_sort_topk,
+         "pinned_outer_jit": case_pinned_outer_jit}[args.case]()
     print(f"done in {time.time() - t0:.1f}s (no crash this run)")
 
 

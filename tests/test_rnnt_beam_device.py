@@ -329,3 +329,46 @@ def test_beam_cache_key_tracks_env(monkeypatch):
     assert len(rnnt_search._DEVICE_BEAM_CACHE) == 1
     for a, b in zip(r1, r2):
         assert a.tokens == b.tokens
+
+
+def test_align_pack_parity():
+    """align_pack: the beam's own program with folded Viterbi align +
+    one-buffer packing reproduces (a) the plain device beam's hypotheses
+    bit-exactly and (b) the separately-computed
+    `force_align_device_tokens` path/ok on the same top hypotheses —
+    the `recognize_wav --fuse split` single-fetch contract."""
+    from paper_accurate_fast_cheap_tpu.ops import ctc_utils
+
+    setup = _Setup(3)
+    ps, js, init = setup.jax_fns()
+    enc = jnp.asarray(setup.enc)
+    lens = jnp.asarray(setup.lens)
+    ctc = jnp.asarray(setup.ctc)
+    kw = dict(beam_size=4, blank_id=0, ctc_weight=0.3,
+              transducer_weight=0.7, impl="device")
+
+    plain = rnnt_search.rnnt_beam_search(ps, js, init, enc, lens, ctc,
+                                         **kw)
+    buf = rnnt_search.rnnt_beam_search(ps, js, init, enc, lens, ctc,
+                                       defer=True, align_pack=8, **kw)
+    res, path, ok, lens_out = rnnt_search.finalize_device_beam_aligned(
+        buf, beam=4)
+    assert list(lens_out) == list(np.asarray(setup.lens))
+    for a, b in zip(plain, res):
+        assert a.tokens == b.tokens
+        assert a.nbest == b.nbest
+        assert a.nbest_scores == b.nbest_scores
+
+    # reference align on the final hypotheses
+    carry = rnnt_search.rnnt_beam_search(ps, js, init, enc, lens, ctc,
+                                         defer=True, **kw)
+    want_path, want_ok = ctc_utils.force_align_device_tokens(
+        ctc, lens, carry["hyps"][:, 0, :8], carry["hyp_len"][:, 0])
+    np.testing.assert_array_equal(np.asarray(want_ok), ok)
+    np.testing.assert_array_equal(np.asarray(want_path), path)
+
+    # non-deferred aligned call returns plain results
+    res2 = rnnt_search.rnnt_beam_search(ps, js, init, enc, lens, ctc,
+                                        align_pack=8, **kw)
+    for a, b in zip(plain, res2):
+        assert a.tokens == b.tokens
