@@ -141,6 +141,13 @@ def wer_of(ref_file, hyp_file):
 def decode_and_score(tag, out_root, lf_dir, names, cfg, ckpt, args,
                      cpu=False):
     out = os.path.join(out_root, f"decode_{tag}")
+    if os.path.exists(os.path.join(out, "hyp.text")):
+        # reuse a previous run's decode (e.g. the init point when only
+        # --epochs changed) — delete the decode_<tag> dir to force
+        w = wer_of(os.path.join(out, "ref.text"),
+                   os.path.join(out, "hyp.text"))
+        print(f"# [{tag}] WER={w:.4f} (reused {out})", file=sys.stderr)
+        return w, 0.0
     os.makedirs(out, exist_ok=True)
     t0 = time.time()
     for name in names:

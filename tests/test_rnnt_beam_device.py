@@ -320,10 +320,11 @@ def test_beam_cache_key_tracks_env(monkeypatch):
     n1 = len(rnnt_search._DEVICE_BEAM_CACHE)
     assert n1 == 1
     # on CPU topk_w_vmem_enabled() is False either way (backend gate), so
-    # assert on the key structure instead: the last two key fields are the
-    # resolved (pred_fused, topk_w_vmem) decisions
+    # assert on the key structure instead: the trailing fields are the
+    # resolved (pred_fused, topk_w_vmem) decisions + align_pack
     key = next(iter(rnnt_search._DEVICE_BEAM_CACHE))
-    assert isinstance(key[-1], bool) and isinstance(key[-2], bool)
+    assert isinstance(key[-2], bool) and isinstance(key[-3], bool)
+    assert key[-1] == 0  # align_pack off in this call
     # same env -> cache hit (no growth)
     r2 = rnnt_search.rnnt_beam_search(*args, **kw)
     assert len(rnnt_search._DEVICE_BEAM_CACHE) == 1
