@@ -182,6 +182,13 @@ def main(argv=None):
                    help="force the CPU backend (mechanical check)")
     p.add_argument("--train_utts", type=int, default=96)
     p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--merge_secs", type=int, default=0,
+                   help="merge_utterances long-form synthesis target "
+                        "(secs; 0 = off).  Matching train length to the "
+                        "decode window is what the reference's LFXL "
+                        "fine-tune stage exists for — short-utterance "
+                        "training + 20 s windows decodes with doubled "
+                        "emissions (round-5 finding)")
     p.add_argument("--lf_files", type=int, default=2)
     p.add_argument("--lf_words", type=int, default=100)
     p.add_argument("--chunk_size", type=int, default=2000)
@@ -255,6 +262,13 @@ def main(argv=None):
             "batch_conf": {"batch_type": "static",
                            "batch_size": args.batch_size},
             "shuffle": True, "shuffle_conf": {"shuffle_size": 256},
+            **({"merge_utterances": True,
+                "merge_utterances_conf": {
+                    "min_audio_len_acceptable_secs": 1,
+                    "min_audio_len_secs": args.merge_secs,
+                    "max_audio_len_secs": args.merge_secs + 7,
+                    "max_utt_combined": 12,
+                }} if args.merge_secs > 0 else {}),
         },
         "grad_clip": 5.0, "optim": "adamw",
         "optim_conf": {"lr": args.lr, "weight_decay": 1e-6},
