@@ -43,7 +43,8 @@ def run_recognize(cfg, ckpt, wav, out, cell, cpu, chunk, batch):
            "--output_dir", out, "--mode", "rnnt_beam_search",
            "--chunk_size", str(chunk), "--batch_size", str(batch),
            "--beam_size", "8", "--ctc_weight", "0.3",
-           "--transducer_weight", "0.7", "--fuse", fuse,
+           "--transducer_weight", "0.7",
+           "--fuse", {"chain": "on"}.get(fuse, fuse),
            "--wkv_impl", wkv]
     if cpu:
         code = ("import jax, sys; "

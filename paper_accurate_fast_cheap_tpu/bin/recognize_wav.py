@@ -294,7 +294,14 @@ def main(argv=None):
     # by batch width.
     _req = args.fuse
     if _req == "auto":
-        _req = "split" if args.batch_size >= 32 else "on"
+        # split (own-program beam: VMEM-pinned kernels + deferred
+        # bucketed align) won BOTH geometry extremes in same-day A/Bs:
+        # frontier 64 x 25 s -> 1754x vs chain 1363x (2026-08-20), and
+        # protocol 8 x 200 s -> 607-630x vs chain 528-529x (2026-08-21;
+        # r4's chain-wins-at-narrow-batch reading was a meter artifact).
+        # chain remains for tiny batches where its single dispatch is
+        # the only overlap available.
+        _req = "split" if args.batch_size >= 8 else "on"
     fuse = "chain" if (_req == "on" and fusable) else (
         "split" if (_req == "split" and fusable) else "off")
     if args.fuse in ("on", "split") and fuse == "off":
@@ -337,7 +344,7 @@ def main(argv=None):
             )
             path, ok = ctc_utils.force_align_device_tokens(
                 logp, enc_lens, out["hyps"][:, 0, :align_lmax],
-                out["hyp_len"][:, 0],
+                out["hyp_len"][:, 0], unroll=8,
             )
             # ONE packed buffer: beam + align path + ok + lens -> the
             # whole batch materializes in a single fetch
@@ -426,10 +433,16 @@ def main(argv=None):
             enc, enc_lens, logp = enc_chain(
                 window_slice.args[0], jnp.asarray(s0),
                 jnp.asarray(slens))
-            # align_pack folds the Viterbi align + packing INTO the
-            # beam's own cached program: 2 dispatches + 1 fetch per
-            # batch (vs 3 raw beam fetches + a separate align dispatch
-            # before), while the beam keeps its VMEM-pinned kernels
+            # PAFC_SPLIT_ALIGN_PACK=1 folds the Viterbi align + packing
+            # INTO the beam's own cached program (1 fetch/batch).
+            # Measured A/B at the protocol point (8 x 200 s windows,
+            # 2026-08-21): inline worst-case align COSTS ~1 s/batch
+            # (497x packed vs 607-630x deferred; unroll8 502x, Lmax 512
+            # 543x) while the deferred bucketed align dispatch overlaps
+            # with the next batch's device work and sizes Sp to the
+            # ACTUAL hypothesis length — so deferred is the default.
+            _ap = (align_lmax if os.environ.get(
+                "PAFC_SPLIT_ALIGN_PACK", "0") != "0" else 0)
             buf = rnnt_search.rnnt_beam_search(
                 predictor_step, joint_step, init_state_fn, enc,
                 enc_lens, logp, beam_size=args.beam_size,
@@ -437,9 +450,12 @@ def main(argv=None):
                 transducer_weight=args.transducer_weight,
                 params=params, defer=True,
                 unroll=args.beam_unroll, merge=args.beam_merge,
-                align_pack=align_lmax,
+                align_pack=_ap,
             )
-            entry = (group, slens, None, logp, None, buf)
+            if _ap:
+                entry = (group, slens, None, logp, None, buf)
+            else:
+                entry = (group, slens, enc_lens, logp, buf, None)
         else:
             swins = window_slice(jnp.asarray(s0))
             feats, feat_lens = featurize(swins, jnp.asarray(slens),

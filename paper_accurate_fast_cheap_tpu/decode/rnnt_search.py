@@ -769,7 +769,8 @@ def _rnnt_beam_search_device(
                 path, ok = ctc_utils.force_align_device_tokens(
                     logp_btv, lens,
                     carry["hyps"][:, 0, :align_pack],
-                    carry["hyp_len"][:, 0], blank_id=blank_id)
+                    carry["hyp_len"][:, 0], blank_id=blank_id,
+                    unroll=8)
                 return pack_device_beam_aligned(carry, path, ok, lens)
 
             run = jax.jit(_run_aligned)

@@ -214,7 +214,7 @@ def _viterbi_program(B: int, T: int, Sp: int, V: int):
 
 
 def force_align_device_tokens(logp, lens, tokens, tok_len,
-                              blank_id: int = 0):
+                              blank_id: int = 0, unroll: int = 1):
     """Traceable forced alignment whose LABELS are device arrays.
 
     The host variant (`force_align_batch_device`) needs the hypothesis
@@ -249,7 +249,8 @@ def force_align_device_tokens(logp, lens, tokens, tok_len,
     S = (2 * tok_len + 1).astype(jnp.int32)
     ok = (tok_len > 0) & (S <= Sp)
     path = viterbi_path_device(logp, jnp.asarray(lens, jnp.int32), y,
-                               allow2, jnp.where(ok, S, 1))
+                               allow2, jnp.where(ok, S, 1),
+                               unroll=unroll)
     path = jnp.where(ok[:, None], path, blank_id)
     return path, ok
 
