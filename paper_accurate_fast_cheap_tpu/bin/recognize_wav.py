@@ -340,7 +340,8 @@ def main(argv=None):
                 enc_lens, logp, beam_size=args.beam_size,
                 ctc_weight=args.ctc_weight,
                 transducer_weight=args.transducer_weight,
-                params=p, defer=True, unroll=args.beam_unroll, merge=args.beam_merge,
+                params=p, defer=True, unroll=args.beam_unroll,
+                merge=args.beam_merge,
             )
             path, ok = ctc_utils.force_align_device_tokens(
                 logp, enc_lens, out["hyps"][:, 0, :align_lmax],
