@@ -25,7 +25,7 @@ def get_args(argv=None):
                    help="shard entry codec (reference AUDIO_FORMAT_SETS, "
                         "tools/make_shard.py:36; flac via the native "
                         "codec, opus via libopus — inputs may be "
-                        "wav/flac/ogg-opus/mp3 regardless)")
+                        "wav/flac/ogg-opus/mp3/m4a regardless)")
     p.add_argument("--text", required=True, help="'key transcript' per line")
     p.add_argument("--output_dir", required=True)
     p.add_argument("--num_utts_per_shard", type=int, default=1000)

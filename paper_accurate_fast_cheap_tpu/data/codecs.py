@@ -16,6 +16,10 @@ directly with ctypes:
   granule position.
 - **MP3**: libmpg123 feed API (``mpg123_open_feed``/``mpg123_decode``)
   forced to float32 output.
+- **m4a/AAC**: the image also carries libavformat/libavcodec 59; a
+  compiled-on-demand C++ shim (`native/pafc_av.cpp`, built against the
+  real headers with a strict major-version gate) decodes ISO-BMFF
+  containers to mono float32 — see `decode_m4a`/`encode_m4a` below.
 
 The encoders (`encode_ogg_opus`, `encode_mp3`) exist so tests can do full
 lossy round-trips without binary fixtures; they use the same system libs
@@ -460,3 +464,43 @@ def sniff_mp3(data: bytes) -> bool:
         # frame sync; require a sane MPEG layer (not reserved)
         return (data[1] & 0x06) != 0
     return False
+
+
+# ------------------------------------------------------------------ m4a/mp4
+
+
+def sniff_mp4(data: bytes) -> bool:
+    """True for ISO-BMFF containers (m4a/mp4): box size + 'ftyp' brand."""
+    return len(data) >= 12 and data[4:8] == b"ftyp"
+
+
+def decode_m4a(data: bytes) -> Tuple[np.ndarray, int]:
+    """m4a/AAC -> (mono float32, native rate) via the libav shim.
+
+    The reference ingests m4a through torchaudio/ffmpeg
+    (`wenet/dataset/processor.py:178-211`); here the same system
+    libav* 59 libraries are bound through a compiled-on-demand C++ shim
+    (`native/pafc_av.cpp`) with a strict major-version gate.  When the
+    shim is unavailable (no g++/libav at runtime) this raises with the
+    historical re-pack guidance instead of guessing.
+    """
+    from paper_accurate_fast_cheap_tpu import native
+
+    out = native.av_decode(data)
+    if out is None:
+        raise RuntimeError(
+            "m4a decode unavailable (libav shim failed to build/load or "
+            "payload undecodable) — re-pack m4a with bin/make_shard.py"
+        )
+    return out
+
+
+def encode_m4a(pcm: np.ndarray, sample_rate: int) -> bytes:
+    """Mono float32 -> AAC .m4a bytes (test-fixture helper; native 'aac'
+    encoder + ipod muxer, all in memory)."""
+    from paper_accurate_fast_cheap_tpu import native
+
+    out = native.av_encode_m4a(pcm, sample_rate)
+    if out is None:
+        raise RuntimeError("m4a encode unavailable (libav shim missing)")
+    return out

@@ -147,9 +147,10 @@ def decode_wav(samples: Iterable[Dict],
                num_workers: int = 0) -> Iterator[Dict]:
     """Decode audio to float32 in int16 scale /(1<<15) normalized [-1,1]
     mono, with optional [start, end] second segment reads
-    (`processor.py:178-211`).  Formats: RIFF/WAV and FLAC (both via the
-    native C++ decoders, `native/pafc_native.cpp`); other codecs must be
-    re-packed with `bin/make_shard.py` (this image has no sox/ffmpeg).
+    (`processor.py:178-211`).  Formats: RIFF/WAV and FLAC (native C++
+    decoders, `native/pafc_native.cpp`), Ogg/Opus and MP3 (ctypes system
+    libs, `data/codecs.py`), and m4a/AAC (libav shim,
+    `native/pafc_av.cpp`).
 
     ``num_workers > 0`` decodes on a thread pool (the native decoders drop
     the GIL inside the ctypes call, so threads give real parallelism,
@@ -188,9 +189,11 @@ def _read_audio_bytes(data: bytes, ext=None):
 
     if codecs.sniff_mp3(data):
         return codecs.decode_mp3(data)
+    if codecs.sniff_mp4(data):
+        return codecs.decode_m4a(data)
     raise ValueError(
         f"unsupported audio format (ext={ext!r}); supported: wav, flac, "
-        "ogg/opus, mp3 — re-pack m4a with bin/make_shard.py"
+        "ogg/opus, mp3, m4a"
     )
 
 

@@ -19,9 +19,13 @@ log = logging.getLogger(__name__)
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "pafc_native.cpp")
 _SO = os.path.join(_DIR, "libpafc_native.so")
+_AV_SRC = os.path.join(_DIR, "pafc_av.cpp")
+_AV_SO = os.path.join(_DIR, "libpafc_av.so")
 _lock = threading.Lock()
 _lib = None
 _tried = False
+_av_lib = None
+_av_tried = False
 
 
 def build() -> bool:
@@ -97,6 +101,108 @@ def levenshtein_counts(ref: np.ndarray,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return int(out[0]), int(out[1]), int(out[2])
+
+
+def build_av() -> bool:
+    """Compile the ffmpeg-backed shim (kept out of the base lib so
+    libpafc_native.so carries no libav* link dependency)."""
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _AV_SRC,
+           "-o", _AV_SO, "-lavformat", "-lavcodec", "-lavutil",
+           "-lswresample"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, OSError) as e:
+        log.info("libav shim build unavailable (%s); m4a ingestion will "
+                 "raise with re-pack guidance", e)
+        return False
+
+
+def av_lib() -> Optional[ctypes.CDLL]:
+    """The ffmpeg shim, or None when libav*/g++ are absent.
+
+    Strict version gate: the shim is compiled against the image's
+    lavf-59 headers, so refuse to use it if the runtime library reports
+    a different major (a mismatched ABI would corrupt, not error)."""
+    global _av_lib, _av_tried
+    with _lock:
+        if _av_lib is not None or _av_tried:
+            return _av_lib
+        _av_tried = True
+        if not os.path.exists(_AV_SO) or (
+            os.path.exists(_AV_SRC)
+            and os.path.getmtime(_AV_SRC) > os.path.getmtime(_AV_SO)
+        ):
+            if not build_av():
+                return None
+        try:
+            L = ctypes.CDLL(_AV_SO)
+        except OSError as e:
+            log.info("libav shim load failed: %s", e)
+            return None
+        L.pafc_av_version.restype = ctypes.c_uint32
+        L.pafc_av_version.argtypes = []
+        built_major = 59
+        run_major = int(L.pafc_av_version()) >> 16
+        if run_major != built_major:
+            log.warning("libavformat major %d != built-against %d; "
+                        "disabling the libav shim", run_major, built_major)
+            return None
+        L.pafc_av_decode.restype = ctypes.c_int64
+        L.pafc_av_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        L.pafc_av_free.restype = None
+        L.pafc_av_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        L.pafc_av_encode_m4a.restype = ctypes.c_int64
+        L.pafc_av_encode_m4a.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ]
+        L.pafc_av_free_u8.restype = None
+        L.pafc_av_free_u8.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        _av_lib = L
+        return _av_lib
+
+
+def av_decode(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
+    """(mono float32, native sample_rate) via libavformat, or None when
+    the shim is unavailable or the payload does not decode."""
+    L = av_lib()
+    if L is None:
+        return None
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    out = ctypes.POINTER(ctypes.c_float)()
+    sr = ctypes.c_int32(0)
+    n = L.pafc_av_decode(buf, len(data), ctypes.byref(out),
+                         ctypes.byref(sr))
+    if n <= 0 or not out:
+        return None
+    try:
+        x = np.ctypeslib.as_array(out, shape=(int(n),)).copy()
+    finally:
+        L.pafc_av_free(out)
+    return x, int(sr.value)
+
+
+def av_encode_m4a(pcm: np.ndarray, sample_rate: int) -> Optional[bytes]:
+    """Mono float32 -> AAC .m4a bytes (test-fixture helper), or None."""
+    L = av_lib()
+    if L is None:
+        return None
+    x = np.ascontiguousarray(pcm, np.float32)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = L.pafc_av_encode_m4a(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x),
+        int(sample_rate), ctypes.byref(out))
+    if n <= 0 or not out:
+        return None
+    try:
+        return bytes(np.ctypeslib.as_array(out, shape=(int(n),)))
+    finally:
+        L.pafc_av_free_u8(out)
 
 
 def parse_wav(data: bytes) -> Optional[Tuple[np.ndarray, int]]:

@@ -164,3 +164,62 @@ def test_ogg_zero_segment_page_keeps_continuation():
     )
     got = list(codecs.ogg_packets(stream))
     assert got == [(7, 5678, pkt)], [(s, g, len(p)) for s, g, p in got]
+
+
+# ------------------------------------------------------------------ m4a/AAC
+
+_needs_libav = pytest.mark.skipif(
+    __import__("paper_accurate_fast_cheap_tpu.native",
+               fromlist=["av_lib"]).av_lib() is None,
+    reason="libav shim unavailable (no g++/libavformat-59 at runtime)")
+
+
+@_needs_libav
+def test_m4a_roundtrip_16k():
+    x = _tone(16000, 2.0) + _tone(16000, 2.0, f=1200.0, amp=0.1)
+    data = codecs.encode_m4a(x, 16000)
+    assert codecs.sniff_mp4(data)
+    assert not codecs.sniff_mp3(data)
+    y, sr = codecs.decode_m4a(data)
+    assert sr == 16000
+    # lavf applies the edit-list delay trim; allow AAC's padded tail
+    assert abs(len(y) - len(x)) < 4096
+    assert _aligned_corr(x, y) > 0.95
+
+
+@_needs_libav
+def test_m4a_pipeline_dispatch():
+    x = _tone(16000, 1.5)
+    data = codecs.encode_m4a(x, 16000)
+    y, sr = pl._read_audio_bytes(data, ext="m4a")
+    assert sr == 16000 and _aligned_corr(x, y) > 0.95
+
+
+@_needs_libav
+def test_m4a_tar_shard_entry(tmp_path):
+    """m4a entries flow through a tar shard exactly like opus ones
+    (reference shard writer whitelists the extension,
+    `tools/make_shard.py:36`)."""
+    x = _tone(16000, 1.0)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, payload in [("utt1.m4a", codecs.encode_m4a(x, 16000)),
+                              ("utt1.txt", b"hello world")]:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    p = tmp_path / "shard.tar"
+    p.write_bytes(buf.getvalue())
+    samples = list(pl.tar_shard_source([str(p)]))
+    assert len(samples) == 1
+    s = samples[0]
+    assert s["audio_ext"] == "m4a" and s["txt"] == "hello world"
+    wav, sr = pl._read_audio_bytes(s["audio_bytes"],
+                                   ext=s["audio_ext"])
+    assert sr == 16000 and _aligned_corr(x, wav) > 0.95
+
+
+def test_sniff_mp4_rejects_other():
+    assert not codecs.sniff_mp4(b"RIFF....WAVE")
+    assert not codecs.sniff_mp4(b"OggS" + b"\x00" * 20)
+    assert not codecs.sniff_mp4(b"\xff\xfb" + b"\x00" * 20)
